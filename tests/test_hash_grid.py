@@ -1,0 +1,107 @@
+import numpy as np
+import jax.numpy as jnp
+
+from vfmreg_tpu.ops.hash_grid import build_hash_grid, nearest_neighbors, export_pointcloud
+
+
+def brute_force_27_nn(map_pts, queries, voxel_size, max_per_voxel=20):
+    """Reference semantics of VoxelHashMap::GetCorrespondences
+    (`VoxelHashMap.cpp:76-134`): insertion-order cap per voxel, 27-voxel scan."""
+    from collections import defaultdict
+
+    buckets = defaultdict(list)
+    for p in map_pts:
+        key = tuple(np.trunc(p / voxel_size).astype(np.int64))
+        if len(buckets[key]) < max_per_voxel:
+            buckets[key].append(p)
+
+    out_pt, out_d, out_found = [], [], []
+    for q in queries:
+        base = np.trunc(q / voxel_size).astype(np.int64)
+        best, best_d2 = None, np.inf
+        for di in (-1, 0, 1):
+            for dj in (-1, 0, 1):
+                for dk in (-1, 0, 1):
+                    key = (base[0] + di, base[1] + dj, base[2] + dk)
+                    for p in buckets.get(key, []):
+                        d2 = float(np.sum((p - q) ** 2))
+                        if d2 < best_d2:
+                            best, best_d2 = p, d2
+        if best is None:
+            out_pt.append(np.zeros(3))
+            out_d.append(np.inf)
+            out_found.append(False)
+        else:
+            out_pt.append(best)
+            out_d.append(np.sqrt(best_d2))
+            out_found.append(True)
+    return np.stack(out_pt), np.asarray(out_d), np.asarray(out_found)
+
+
+def test_nearest_neighbors_matches_bruteforce(rng):
+    map_pts = rng.uniform(-10, 10, (800, 3)).astype(np.float32)
+    queries = rng.uniform(-12, 12, (200, 3)).astype(np.float32)
+    vs = 1.0
+    grid = build_hash_grid(jnp.asarray(map_pts), vs)
+    nbr, dist, found = nearest_neighbors(grid, jnp.asarray(queries))
+    ref_pt, ref_d, ref_found = brute_force_27_nn(map_pts, queries, vs)
+
+    np.testing.assert_array_equal(np.asarray(found), ref_found)
+    got_d = np.asarray(dist)
+    np.testing.assert_allclose(got_d[ref_found], ref_d[ref_found], atol=1e-4)
+    np.testing.assert_allclose(np.asarray(nbr)[ref_found], ref_pt[ref_found], atol=1e-4)
+
+
+def test_max_points_per_voxel_cap(rng):
+    # 100 points in one voxel: only the first 20 (insertion order) are stored.
+    pts = (0.5 + 0.4 * rng.uniform(-1, 1, (100, 3))).astype(np.float32)
+    grid = build_hash_grid(jnp.asarray(pts), 1.0, max_points_per_voxel=20)
+    stored_pts, _, valid = export_pointcloud(grid)
+    got = np.asarray(stored_pts)[np.asarray(valid)]
+    assert got.shape[0] == 20
+    ref = pts[:20]
+    got_set = {tuple(np.round(p, 5)) for p in got}
+    ref_set = {tuple(np.round(p, 5)) for p in ref}
+    assert got_set == ref_set
+
+
+def test_empty_neighborhood(rng):
+    map_pts = rng.uniform(0, 1, (50, 3)).astype(np.float32)
+    queries = np.asarray([[100.0, 100.0, 100.0]], dtype=np.float32)
+    grid = build_hash_grid(jnp.asarray(map_pts), 1.0)
+    _, dist, found = nearest_neighbors(grid, jnp.asarray(queries))
+    assert not bool(found[0])
+    assert np.isinf(float(dist[0]))
+
+
+def test_query_mask(rng):
+    map_pts = rng.uniform(-5, 5, (100, 3)).astype(np.float32)
+    queries = rng.uniform(-5, 5, (10, 3)).astype(np.float32)
+    qmask = np.zeros(10, dtype=bool)
+    qmask[:5] = True
+    grid = build_hash_grid(jnp.asarray(map_pts), 1.0)
+    _, _, found = nearest_neighbors(grid, jnp.asarray(queries), jnp.asarray(qmask))
+    assert not np.any(np.asarray(found)[5:])
+
+
+def test_build_with_masked_points(rng):
+    pts = rng.uniform(-5, 5, (100, 3)).astype(np.float32)
+    mask = np.zeros(100, dtype=bool)
+    mask[:30] = True
+    grid = build_hash_grid(jnp.asarray(pts), 1.0, mask=jnp.asarray(mask))
+    assert int(grid.num_points) <= 30
+    # Query near a masked-out point far from all valid points: not found
+    q = pts[99] + 100.0
+    _, _, found = nearest_neighbors(grid, jnp.asarray(q[None]))
+    assert not bool(found[0])
+
+
+def test_feats_sorted_alongside(rng):
+    pts = rng.uniform(-5, 5, (100, 3)).astype(np.float32)
+    feats = pts.sum(axis=1, keepdims=True).astype(np.float32)  # feature == f(point)
+    grid = build_hash_grid(jnp.asarray(pts), 1.0, feats=jnp.asarray(feats))
+    stored_pts, stored_feats, valid = export_pointcloud(grid)
+    v = np.asarray(valid)
+    np.testing.assert_allclose(
+        np.asarray(stored_feats)[v][:, 0], np.asarray(stored_pts)[v].sum(axis=1), atol=1e-5
+    )

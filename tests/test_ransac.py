@@ -1,0 +1,114 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+from scipy.spatial.transform import Rotation as R
+
+from vfmreg_tpu.registration.ransac import ransac_registration, snap_correspondences
+
+
+def make_corrs(rng, n=200, outlier_frac=0.6, far=False):
+    T = np.eye(4)
+    T[:3, :3] = R.from_euler("xyz", rng.uniform(-30, 30, 3), degrees=True).as_matrix()
+    T[:3, 3] = rng.uniform(-20, 20, 3)
+    src = rng.uniform(-15, 15, (n, 3)).astype(np.float32)
+    if far:
+        src += np.array([400.0, -350.0, 0.0], dtype=np.float32)
+    tgt = (src @ T[:3, :3].T + T[:3, 3]).astype(np.float32)
+    n_out = int(n * outlier_frac)
+    tgt[:n_out] = rng.uniform(-40, 40, (n_out, 3)) + src[:n_out].mean(0)
+    return src, tgt, T
+
+
+def test_ransac_recovers_pose_under_outliers(rng):
+    # Open3D's criteria in the reference (max_corr_dist=10000 -> all-inlier,
+    # min-RMSE ranking; `registration_node.py:319-327`) tolerates a moderate
+    # outlier fraction — it is an LS-consensus, not an inlier-count consensus.
+    src, tgt, T = make_corrs(rng, outlier_frac=0.3)
+    res = ransac_registration(
+        jnp.asarray(src),
+        jnp.asarray(tgt),
+        jnp.ones(src.shape[0], dtype=bool),
+        jax.random.PRNGKey(0),
+        num_hypotheses=4000,
+        chunk=256,
+    )
+    # The invariant of the o3d-0.18 objective: the selected model's full-set RMSE
+    # is at least as good as the true pose's (the optimizer found its optimum).
+    rmse_true = np.sqrt(np.mean(np.sum((src @ T[:3, :3].T + T[:3, 3] - tgt) ** 2, axis=1)))
+    assert float(res.rmse) <= rmse_true + 1e-3
+    # And the inliers are still brought into rough alignment.
+    got = np.asarray(res.pose)
+    moved = src @ got[:3, :3].T + got[:3, 3]
+    inlier_err = np.linalg.norm(moved[60:] - tgt[60:], axis=1)
+    assert np.median(inlier_err) < 5.0
+
+
+def test_ransac_clean_correspondences_exact(rng):
+    src, tgt, T = make_corrs(rng, outlier_frac=0.0)
+    res = ransac_registration(
+        jnp.asarray(src),
+        jnp.asarray(tgt),
+        jnp.ones(src.shape[0], dtype=bool),
+        jax.random.PRNGKey(1),
+        num_hypotheses=512,
+        chunk=128,
+    )
+    got = np.asarray(res.pose)
+    np.testing.assert_allclose(got, T, atol=1e-3)
+    assert float(res.rmse) < 1e-2
+
+
+def test_ransac_far_from_origin(rng):
+    src, tgt, T = make_corrs(rng, outlier_frac=0.0, far=True)
+    res = ransac_registration(
+        jnp.asarray(src),
+        jnp.asarray(tgt),
+        jnp.ones(src.shape[0], dtype=bool),
+        jax.random.PRNGKey(2),
+        num_hypotheses=512,
+        chunk=128,
+    )
+    got = np.asarray(res.pose)
+    moved = src @ got[:3, :3].T + got[:3, 3]
+    assert np.max(np.linalg.norm(moved - tgt, axis=1)) < 0.05
+
+
+def test_ransac_respects_mask(rng):
+    src, tgt, T = make_corrs(rng, outlier_frac=0.0)
+    # Corrupt the masked-out rows grossly; result must be unaffected.
+    tgt2 = tgt.copy()
+    tgt2[:50] += 1000.0
+    mask = np.ones(src.shape[0], dtype=bool)
+    mask[:50] = False
+    res = ransac_registration(
+        jnp.asarray(src),
+        jnp.asarray(tgt2),
+        jnp.asarray(mask),
+        jax.random.PRNGKey(3),
+        num_hypotheses=512,
+        chunk=128,
+    )
+    got = np.asarray(res.pose)
+    np.testing.assert_allclose(got, T, atol=1e-3)
+
+
+def test_snap_correspondences(rng):
+    scan = rng.uniform(-5, 5, (100, 3)).astype(np.float32)
+    mappts = rng.uniform(-5, 5, (100, 3)).astype(np.float32)
+    # correspondences: first 10 are exact members, next 10 are 0.5m off
+    src = np.concatenate([scan[:10], scan[10:20] + 0.5]).astype(np.float32)
+    tgt = np.concatenate([mappts[:10], mappts[10:20]]).astype(np.float32)
+    mask = np.ones(20, dtype=bool)
+    s_src, s_tgt, ok = snap_correspondences(
+        jnp.asarray(src),
+        jnp.asarray(tgt),
+        jnp.asarray(mask),
+        jnp.asarray(scan),
+        jnp.ones(100, dtype=bool),
+        jnp.asarray(mappts),
+        jnp.ones(100, dtype=bool),
+    )
+    ok = np.asarray(ok)
+    assert ok[:10].all()
+    assert not ok[10:].any()
+    np.testing.assert_allclose(np.asarray(s_src)[:10], scan[:10], atol=1e-6)

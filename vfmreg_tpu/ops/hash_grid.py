@@ -1,0 +1,194 @@
+"""Device-resident voxel hash grid — the TPU analogue of the reference VoxelHashMap.
+
+The reference keeps a `tsl::robin_map<Voxel, VoxelBlock>` on the host and scans the
+27-voxel neighborhood per query with TBB (`core/VoxelHashMap.cpp:76-168`). Here the
+map lives on device as sorted, padded arrays:
+
+* points are stable-sorted by 32-bit voxel hash → same-voxel points are contiguous
+  ("buckets"), in insertion order (so the first-`max_points_per_voxel` cap keeps the
+  same points as the reference's `VoxelBlock::AddPoint`, `VoxelHashMap.hpp:47-54`);
+* per-bucket `(start, count)` CSR offsets plus the sorted unique hash array;
+* lookup = `jnp.searchsorted` on the unique-hash array (log2 U gather steps) — no
+  pointer-chasing, no host round-trips;
+* the 27-neighborhood NN query is a `lax.fori_loop` over the 27 offsets, each step
+  gathering one bucket slab `[N, cap]` and folding a running arg-min — a pure
+  gather + VPU reduction, HBM-bandwidth bound, O(N * 27 * cap).
+
+Everything is fixed-shape; invalid rows carry +inf distances.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from vfmreg_tpu.ops.voxel import INVALID_HASH, voxel_coords, voxel_hash
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["unique_hash", "bucket_start", "bucket_count", "points", "feats", "valid", "voxel_size"],
+    meta_fields=["max_points_per_voxel"],
+)
+@dataclasses.dataclass(frozen=True)
+class HashGrid:
+    """Sorted-bucket voxel grid. All arrays are padded to static capacities."""
+
+    unique_hash: jnp.ndarray  # [U] uint32, ascending; padding = INVALID_HASH
+    bucket_start: jnp.ndarray  # [U] int32 index into `points`
+    bucket_count: jnp.ndarray  # [U] int32, clipped to max_points_per_voxel
+    points: jnp.ndarray  # [M, 3] f32, sorted by voxel hash
+    feats: Optional[jnp.ndarray]  # [M, D] f32 or None
+    valid: jnp.ndarray  # [M] bool (sorted alongside points)
+    voxel_size: jnp.ndarray  # f32 scalar
+    max_points_per_voxel: int  # static
+
+    @property
+    def num_points(self) -> jnp.ndarray:
+        return jnp.sum(self.valid.astype(jnp.int32))
+
+
+def build_hash_grid(
+    points: jnp.ndarray,
+    voxel_size,
+    mask: Optional[jnp.ndarray] = None,
+    feats: Optional[jnp.ndarray] = None,
+    max_points_per_voxel: int = 20,
+) -> HashGrid:
+    """Construct the grid from a padded point cloud.
+
+    Semantics mirror `VoxelHashMap::AddPoints` (`VoxelHashMap.cpp:733-770`): voxel =
+    trunc(p / voxel_size), at most `max_points_per_voxel` points kept per voxel in
+    insertion order.
+    """
+    n = points.shape[0]
+    if mask is None:
+        mask = jnp.ones((n,), dtype=bool)
+
+    h = voxel_hash(voxel_coords(points, voxel_size))
+    h = jnp.where(mask, h, INVALID_HASH)
+
+    order = jnp.argsort(h, stable=True)
+    h_s = h[order]
+    pts_s = points[order]
+    mask_s = mask[order]
+    feats_s = feats[order] if feats is not None else None
+
+    is_start = jnp.concatenate([jnp.ones((1,), dtype=bool), h_s[1:] != h_s[:-1]]) & mask_s
+    # Bucket id per point (0-based over valid buckets; padding rows map past the end).
+    bucket_id = jnp.cumsum(is_start.astype(jnp.int32)) - 1
+    bucket_id = jnp.where(mask_s, bucket_id, n - 1)
+
+    row = jnp.arange(n, dtype=jnp.int32)
+    start_of_bucket = jnp.where(is_start, row, n)
+    # CSR: scatter-min of row index per bucket.
+    bucket_start = jnp.full((n,), n, dtype=jnp.int32).at[bucket_id].min(
+        jnp.where(mask_s, row, n)
+    )
+    # Count per bucket.
+    bucket_total = jnp.zeros((n,), dtype=jnp.int32).at[bucket_id].add(
+        mask_s.astype(jnp.int32)
+    )
+    bucket_count = jnp.minimum(bucket_total, max_points_per_voxel)
+
+    # Unique hash per bucket (scatter the run-start hash).
+    unique_hash = jnp.full((n,), INVALID_HASH, dtype=jnp.uint32).at[
+        jnp.where(is_start, bucket_id, n - 1)
+    ].min(jnp.where(is_start, h_s, INVALID_HASH))
+    # Note: the INVALID_HASH bucket (padding) may alias bucket n-1 when every row is
+    # a distinct voxel; guard by re-deriving validity from count>0 at query time.
+
+    # Mark rows beyond the per-voxel cap invalid so exports skip them.
+    rank = row - bucket_start[bucket_id]
+    valid = mask_s & (rank < max_points_per_voxel)
+
+    del start_of_bucket
+    return HashGrid(
+        unique_hash=unique_hash,
+        bucket_start=bucket_start,
+        bucket_count=bucket_count,
+        points=pts_s,
+        feats=feats_s,
+        valid=valid,
+        voxel_size=jnp.asarray(voxel_size, dtype=jnp.float32),
+        max_points_per_voxel=max_points_per_voxel,
+    )
+
+
+_NEIGHBOR_OFFSETS = jnp.array(
+    [[i, j, k] for i in (-1, 0, 1) for j in (-1, 0, 1) for k in (-1, 0, 1)],
+    dtype=jnp.int32,
+)  # [27, 3]
+
+
+def _lookup_buckets(grid: HashGrid, h: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """hash -> (bucket_start, bucket_count); count==0 when the voxel is absent."""
+    idx = jnp.searchsorted(grid.unique_hash, h)
+    idx = jnp.minimum(idx, grid.unique_hash.shape[0] - 1)
+    found = (grid.unique_hash[idx] == h) & (h != INVALID_HASH)
+    start = grid.bucket_start[idx]
+    count = jnp.where(found, grid.bucket_count[idx], 0)
+    return start, count
+
+
+def nearest_neighbors(
+    grid: HashGrid,
+    queries: jnp.ndarray,
+    query_mask: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Closest map point within the 27-voxel neighborhood of each query.
+
+    Mirrors `VoxelHashMap::GetCorrespondences`'s `GetClosestNeighbor`
+    (`VoxelHashMap.cpp:79-134`): scan the 3x3x3 voxel neighborhood, return the
+    closest stored point (unbounded distance — the caller applies the
+    `max_correspondence_distance` acceptance gate).
+
+    Returns:
+      (neighbor[N,3], dist[N], found[N]) — dist=+inf / found=False where the
+      neighborhood is empty or the query is masked out.
+    """
+    n = queries.shape[0]
+    if query_mask is None:
+        query_mask = jnp.ones((n,), dtype=bool)
+    cap = grid.max_points_per_voxel
+
+    base = voxel_coords(queries, grid.voxel_size)  # [N, 3]
+    inf = jnp.float32(jnp.inf)
+
+    def body(o, state):
+        best_d2, best_pt = state
+        offs = _NEIGHBOR_OFFSETS[o]
+        h = voxel_hash(base + offs)
+        h = jnp.where(query_mask, h, INVALID_HASH)
+        start, count = _lookup_buckets(grid, h)  # [N], [N]
+        slot = jnp.arange(cap, dtype=jnp.int32)  # [cap]
+        idx = jnp.clip(start[:, None] + slot[None, :], 0, grid.points.shape[0] - 1)
+        cand = grid.points[idx]  # [N, cap, 3]
+        cand_ok = slot[None, :] < count[:, None]
+        d2 = jnp.sum((cand - queries[:, None, :]) ** 2, axis=-1)
+        d2 = jnp.where(cand_ok, d2, inf)
+        j = jnp.argmin(d2, axis=-1)
+        d2_min = jnp.take_along_axis(d2, j[:, None], axis=-1)[:, 0]
+        pt_min = jnp.take_along_axis(cand, j[:, None, None], axis=-2)[:, 0, :]
+        better = d2_min < best_d2
+        return (
+            jnp.where(better, d2_min, best_d2),
+            jnp.where(better[:, None], pt_min, best_pt),
+        )
+
+    best_d2 = jnp.full((n,), inf, dtype=jnp.float32)
+    best_pt = jnp.zeros((n, 3), dtype=jnp.float32)
+    best_d2, best_pt = jax.lax.fori_loop(0, 27, body, (best_d2, best_pt))
+
+    found = jnp.isfinite(best_d2) & query_mask
+    return best_pt, jnp.sqrt(jnp.where(found, best_d2, inf)), found
+
+
+def export_pointcloud(grid: HashGrid) -> Tuple[jnp.ndarray, Optional[jnp.ndarray], jnp.ndarray]:
+    """All stored (capped) points, mirror of `VoxelHashMap::Pointcloud[N]`
+    (`VoxelHashMap.cpp:628-676`). Returns padded (points, feats, valid)."""
+    return grid.points, grid.feats, grid.valid

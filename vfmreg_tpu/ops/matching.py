@@ -1,0 +1,226 @@
+"""Descriptor matching — the TPU replacement for faiss / scipy-KDTree search.
+
+Three reference behaviors live here:
+
+* `get_vfm_correspondences`: L2-renormalized 384-d cosine 1-NN from scan points to
+  map points with a minimum-similarity gate (`VoxelHashMap::GetVFMCorrespondences`,
+  `core/VoxelHashMap.cpp:461-626`, faiss `IndexFlatIP`). On TPU this is a pure
+  dense [N, M] x D inner-product problem — ideal MXU shape. The median/MAD
+  statistics the reference computes (and leaves disabled as a rejection rule,
+  `:571-584`) are returned for telemetry.
+* `mutual_nn_correspondences`: bidirectional descriptor-space L2 1-NN with a
+  mutuality filter or top-k-by-distance selection (`find_correspondences`,
+  `registration_node.py:482-538`, scipy cKDTree).
+* `masked_median` / `masked_mad`: the reference's `nth_element`-based median/MAD
+  (`Registration.cpp:289-314`) on fixed-shape masked arrays.
+
+All entry points stream over the map dimension in chunks (`lax.scan` with a running
+arg-max) so the [N, M] similarity matrix never materializes — M can be 1e6+.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+_NEG_INF = jnp.float32(-jnp.inf)
+
+
+def l2_normalize(x: jnp.ndarray, axis: int = -1, eps: float = 0.0) -> jnp.ndarray:
+    """faiss `fvec_renorm_L2` semantics: zero vectors stay zero."""
+    norm = jnp.linalg.norm(x, axis=axis, keepdims=True)
+    return jnp.where(norm > eps, x / jnp.maximum(norm, 1e-20), jnp.zeros_like(x))
+
+
+def _chunked_argmax_ip(
+    queries: jnp.ndarray,  # [N, D]
+    database: jnp.ndarray,  # [M, D]
+    db_mask: jnp.ndarray,  # [M]
+    chunk: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """argmax_j <q_i, d_j> streamed over M in chunks. Returns (best_sim[N], best_idx[N])."""
+    m = database.shape[0]
+    pad = (-m) % chunk
+    if pad:
+        database = jnp.pad(database, ((0, pad), (0, 0)))
+        db_mask = jnp.pad(db_mask, (0, pad))
+    num_chunks = database.shape[0] // chunk
+    db_blocks = database.reshape(num_chunks, chunk, -1)
+    mask_blocks = db_mask.reshape(num_chunks, chunk)
+
+    def step(carry, block):
+        best_sim, best_idx, offset = carry
+        db, bm = block
+        sim = jnp.dot(queries, db.T, preferred_element_type=jnp.float32)
+        sim = jnp.where(bm[None, :], sim, _NEG_INF)
+        j = jnp.argmax(sim, axis=1)
+        s = jnp.take_along_axis(sim, j[:, None], axis=1)[:, 0]
+        better = s > best_sim
+        best_sim = jnp.where(better, s, best_sim)
+        best_idx = jnp.where(better, offset + j, best_idx)
+        return (best_sim, best_idx, offset + chunk), None
+
+    n = queries.shape[0]
+    init = (
+        jnp.full((n,), _NEG_INF, dtype=jnp.float32),
+        jnp.zeros((n,), dtype=jnp.int32),
+        jnp.int32(0),
+    )
+    (best_sim, best_idx, _), _ = jax.lax.scan(step, init, (db_blocks, mask_blocks))
+    return best_sim, best_idx
+
+
+def _chunked_argmin_l2(
+    queries: jnp.ndarray,
+    database: jnp.ndarray,
+    db_mask: jnp.ndarray,
+    chunk: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """argmin_j |q_i - d_j|^2 via the -2ab expansion; returns (best_d2[N], best_idx[N])."""
+    q2 = jnp.sum(queries * queries, axis=-1)
+    # min |q-d|^2 = q^2 + min(d^2 - 2 q.d). Stream the parenthesized term.
+    m = database.shape[0]
+    pad = (-m) % chunk
+    if pad:
+        database = jnp.pad(database, ((0, pad), (0, 0)))
+        db_mask = jnp.pad(db_mask, (0, pad))
+    num_chunks = database.shape[0] // chunk
+    db_blocks = database.reshape(num_chunks, chunk, -1)
+    mask_blocks = db_mask.reshape(num_chunks, chunk)
+
+    def step(carry, block):
+        best_val, best_idx, offset = carry
+        db, bm = block
+        d2 = jnp.sum(db * db, axis=-1)
+        val = d2[None, :] - 2.0 * jnp.dot(queries, db.T, preferred_element_type=jnp.float32)
+        val = jnp.where(bm[None, :], val, jnp.inf)
+        j = jnp.argmin(val, axis=1)
+        v = jnp.take_along_axis(val, j[:, None], axis=1)[:, 0]
+        better = v < best_val
+        best_val = jnp.where(better, v, best_val)
+        best_idx = jnp.where(better, offset + j, best_idx)
+        return (best_val, best_idx, offset + chunk), None
+
+    n = queries.shape[0]
+    init = (
+        jnp.full((n,), jnp.inf, dtype=jnp.float32),
+        jnp.zeros((n,), dtype=jnp.int32),
+        jnp.int32(0),
+    )
+    (best_val, best_idx, _), _ = jax.lax.scan(step, init, (db_blocks, mask_blocks))
+    return jnp.maximum(best_val + q2, 0.0), best_idx
+
+
+def masked_median(values: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Median over mask==True entries; reference definition (`Registration.cpp:289-300`):
+    element at index n//2 of the sorted array, averaged with the lower-half max when
+    n is even — i.e. the standard median."""
+    big = jnp.float32(jnp.finfo(jnp.float32).max)
+    v = jnp.sort(jnp.where(mask, values, big))
+    cnt = jnp.sum(mask.astype(jnp.int32))
+    hi = jnp.clip(cnt // 2, 0, values.shape[0] - 1)
+    lo = jnp.clip((cnt - 1) // 2, 0, values.shape[0] - 1)
+    med = 0.5 * (v[hi] + v[lo])
+    return jnp.where(cnt > 0, med, jnp.float32(0.0))
+
+
+def masked_mad(values: jnp.ndarray, mask: jnp.ndarray, scale: float = 1.4826):
+    """(median, MAD * scale) — `Registration.cpp:302-313`."""
+    med = masked_median(values, mask)
+    mad = masked_median(jnp.abs(values - med), mask)
+    return med, mad * scale
+
+
+class VFMCorrespondences(NamedTuple):
+    source: jnp.ndarray  # [N, 3] scan points (query side)
+    target: jnp.ndarray  # [N, 3] matched map points
+    mask: jnp.ndarray  # [N] accepted (cosine >= threshold)
+    similarity: jnp.ndarray  # [N] best cosine similarity
+    mean_similarity: jnp.ndarray  # scalar, over all query points (`:598-602`)
+    median_distance: jnp.ndarray  # scalar (telemetry; rejection disabled in ref)
+    mad_distance: jnp.ndarray  # scalar
+
+    @property
+    def count(self) -> jnp.ndarray:
+        return jnp.sum(self.mask.astype(jnp.int32))
+
+
+@partial(jax.jit, static_argnames=("chunk",))
+def get_vfm_correspondences(
+    map_points: jnp.ndarray,
+    map_feats: jnp.ndarray,
+    map_mask: jnp.ndarray,
+    scan_points: jnp.ndarray,
+    scan_feats: jnp.ndarray,
+    scan_mask: jnp.ndarray,
+    min_cosine_similarity=0.8,
+    chunk: int = 4096,
+) -> VFMCorrespondences:
+    """Cosine 1-NN in descriptor space, scan -> map (`VoxelHashMap.cpp:461-626`)."""
+    qn = l2_normalize(scan_feats.astype(jnp.float32))
+    dbn = l2_normalize(map_feats.astype(jnp.float32))
+    best_sim, best_idx = _chunked_argmax_ip(qn, dbn, map_mask, chunk)
+
+    accept = scan_mask & (best_sim >= jnp.asarray(min_cosine_similarity, jnp.float32))
+    target = map_points[best_idx]
+    dist = jnp.linalg.norm(scan_points - target, axis=-1)
+    med, mad = masked_mad(dist, accept)
+    n_q = jnp.maximum(jnp.sum(scan_mask.astype(jnp.int32)), 1)
+    mean_sim = jnp.sum(jnp.where(scan_mask, best_sim, 0.0)) / n_q
+    return VFMCorrespondences(
+        source=scan_points,
+        target=target,
+        mask=accept,
+        similarity=best_sim,
+        mean_similarity=mean_sim,
+        median_distance=med,
+        mad_distance=mad,
+    )
+
+
+class MutualNN(NamedTuple):
+    idx0: jnp.ndarray  # [N0] index into cloud 0 (identity order)
+    idx1: jnp.ndarray  # [N0] matched index into cloud 1
+    mask: jnp.ndarray  # [N0] surviving correspondences
+    dist: jnp.ndarray  # [N0] descriptor-space L2 distance
+
+
+@partial(jax.jit, static_argnames=("mutual_filter", "n_points", "chunk"))
+def mutual_nn_correspondences(
+    feats0: jnp.ndarray,
+    mask0: jnp.ndarray,
+    feats1: jnp.ndarray,
+    mask1: jnp.ndarray,
+    mutual_filter: bool = True,
+    n_points: int = 5000,
+    chunk: int = 4096,
+) -> MutualNN:
+    """`find_correspondences` (`registration_node.py:482-538`).
+
+    mutual_filter=True: keep i where NN_1->0(NN_0->1(i)) == i.
+    mutual_filter=False: keep the n_points smallest-distance 0->1 matches.
+    """
+    f0 = feats0.astype(jnp.float32)
+    f1 = feats1.astype(jnp.float32)
+    d2_01, nn01 = _chunked_argmin_l2(f0, f1, mask1, chunk)
+    n0 = f0.shape[0]
+    idx0 = jnp.arange(n0, dtype=jnp.int32)
+    dist = jnp.sqrt(jnp.maximum(d2_01, 0.0))
+
+    if mutual_filter:
+        _, nn10 = _chunked_argmin_l2(f1, f0, mask0, chunk)
+        keep = mask0 & (nn10[nn01] == idx0)
+    else:
+        # Top n_points by distance among valid rows — the reference uses
+        # argpartition(n)[:n] with n = min(n_points, len-1) (`:511-516`).
+        big = jnp.float32(jnp.finfo(jnp.float32).max)
+        d_for_rank = jnp.where(mask0, dist, big)
+        order = jnp.argsort(d_for_rank)
+        rank = jnp.zeros((n0,), dtype=jnp.int32).at[order].set(idx0)
+        n_valid = jnp.sum(mask0.astype(jnp.int32))
+        n_keep = jnp.minimum(jnp.int32(n_points), jnp.maximum(n_valid - 1, 0))
+        keep = mask0 & (rank < n_keep)
+    return MutualNN(idx0=idx0, idx1=nn01, mask=keep, dist=dist)

@@ -1,0 +1,145 @@
+"""Point-to-point Gauss-Newton ICP as a jitted `lax.while_loop`.
+
+Behavioral clone of the reference's 3D `RegisterFrame`
+(`core/Registration.cpp:145-195`) and its robust linear system
+(`BuildLinearSystem`, `:96-140`):
+
+* residual r_i = source_i - target_i, Jacobian J_i = [I | -hat(source_i)];
+* Geman-McClure-style weight  w = k^2 / (k + |r|^2)^2  (`:124-126`);
+* dx = (J^T W J)^-1 (-J^T W r), pose update T <- exp(dx) T;
+* stop when |dx| < 1e-4 or after 1000 iterations (`:92-94,183`).
+
+TPU-first differences from the reference:
+
+* The TBB `parallel_reduce` over ragged correspondence vectors becomes a masked
+  einsum over the fixed-shape point array — rejected correspondences get weight 0
+  instead of being dropped (identical normal equations).
+* The 6-dof solve runs in float32 but **centered at the source centroid**: the GN
+  step is parameterized about c = mean(source) (J uses source - c) and the
+  resulting motion is conjugated back, exp_world = T(c) exp(dx) T(-c). This removes
+  the |p| ~ 100 m lever arm from J^T J and keeps f32 conditioning comparable to the
+  reference's float64 Eigen solve (see SURVEY.md §7 "exact ICP/GT parity").
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from vfmreg_tpu.geometry.se3 import exp_se3, hat_so3, transform_points
+from vfmreg_tpu.ops.hash_grid import HashGrid, nearest_neighbors
+
+MAX_NUM_ITERATIONS = 1000  # Registration.cpp:92
+ESTIMATION_THRESHOLD = 1e-4  # Registration.cpp:93
+
+
+class _ICPState(NamedTuple):
+    source: jnp.ndarray  # [N, 3] current world-frame source points
+    T_icp: jnp.ndarray  # [4, 4] accumulated correction
+    dx_norm: jnp.ndarray  # scalar
+    it: jnp.ndarray  # scalar int32
+    done: jnp.ndarray  # scalar bool (no-correspondence early exit)
+
+
+def build_linear_system(
+    source: jnp.ndarray,
+    target: jnp.ndarray,
+    weight_mask: jnp.ndarray,
+    kernel,
+    center: jnp.ndarray,
+):
+    """Masked robust normal equations (reference `BuildLinearSystem`,
+    `Registration.cpp:96-140`), centered at `center`.
+
+    Returns (JTJ[6,6], JTr[6], n_corr).
+    """
+    s_c = source - center
+    residual = source - target  # == s_c - (target - center)
+    r2 = jnp.sum(residual * residual, axis=-1)
+    w = (kernel * kernel) / jnp.square(kernel + r2)
+    w = jnp.where(weight_mask, w, 0.0)
+
+    n = source.shape[0]
+    J = jnp.zeros((n, 3, 6), dtype=source.dtype)
+    J = J.at[:, :, :3].set(jnp.broadcast_to(jnp.eye(3, dtype=source.dtype), (n, 3, 3)))
+    J = J.at[:, :, 3:].set(-hat_so3(s_c))
+
+    JTJ = jnp.einsum("nij,n,nik->jk", J, w, J)
+    JTr = jnp.einsum("nij,n,ni->j", J, w, residual)
+    return JTJ, JTr, jnp.sum(weight_mask.astype(jnp.int32))
+
+
+def gn_step(JTJ: jnp.ndarray, JTr: jnp.ndarray, n_corr) -> jnp.ndarray:
+    """Solve JTJ dx = -JTr; returns zeros when the system is empty/singular."""
+    eye = jnp.eye(6, dtype=JTJ.dtype)
+    # Tiny Tikhonov floor keeps the f32 solve finite when correspondences are
+    # degenerate; at typical scales it perturbs dx by < 1e-6.
+    dx = jnp.linalg.solve(JTJ + 1e-8 * eye, -JTr)
+    ok = (n_corr > 0) & jnp.all(jnp.isfinite(dx))
+    return jnp.where(ok, dx, jnp.zeros_like(dx))
+
+
+def _conjugate_translation(T: jnp.ndarray, center: jnp.ndarray) -> jnp.ndarray:
+    """T(center) @ T @ T(-center) without building the 4x4 translations."""
+    out = T
+    t_new = T[:3, 3] + center - T[:3, :3] @ center
+    return out.at[:3, 3].set(t_new)
+
+
+@partial(jax.jit, static_argnames=("max_iterations",))
+def register_frame_icp(
+    grid: HashGrid,
+    points: jnp.ndarray,
+    mask: jnp.ndarray,
+    initial_guess: jnp.ndarray,
+    max_correspondence_distance,
+    kernel,
+    max_iterations: int = MAX_NUM_ITERATIONS,
+    estimation_threshold: float = ESTIMATION_THRESHOLD,
+) -> jnp.ndarray:
+    """KISS-ICP `RegisterFrame` for 3D points (`Registration.cpp:145-195`).
+
+    Args:
+      grid: device voxel hash map of the target cloud.
+      points: [N, 3] padded source points (sensor/scene frame).
+      mask: [N] validity of the padding.
+      initial_guess: [4, 4].
+    Returns:
+      [4, 4] final pose (T_icp @ initial_guess).
+    """
+    points = points.astype(jnp.float32)
+    initial_guess = initial_guess.astype(jnp.float32)
+    source0 = transform_points(points, initial_guess)
+    denom = jnp.maximum(jnp.sum(mask), 1)
+    center = jnp.sum(jnp.where(mask[:, None], source0, 0.0), axis=0) / denom
+
+    kernel = jnp.asarray(kernel, dtype=jnp.float32)
+    max_dist = jnp.asarray(max_correspondence_distance, dtype=jnp.float32)
+
+    def cond(state: _ICPState):
+        return (state.it < max_iterations) & (state.dx_norm >= estimation_threshold) & ~state.done
+
+    def body(state: _ICPState) -> _ICPState:
+        nbr, dist, found = nearest_neighbors(grid, state.source, mask)
+        accept = found & (dist < max_dist)
+        JTJ, JTr, n_corr = build_linear_system(state.source, nbr, accept, kernel, center)
+        dx = gn_step(JTJ, JTr, n_corr)
+        est = exp_se3(dx)
+        est_world = _conjugate_translation(est, center)
+        source = transform_points(state.source, est_world)
+        T_icp = est_world @ state.T_icp
+        dx_norm = jnp.linalg.norm(dx)
+        return _ICPState(source, T_icp, dx_norm, state.it + 1, n_corr == 0)
+
+    init = _ICPState(
+        source=source0,
+        T_icp=jnp.eye(4, dtype=jnp.float32),
+        dx_norm=jnp.float32(jnp.inf),
+        it=jnp.int32(0),
+        done=jnp.asarray(False),
+    )
+    final = jax.lax.while_loop(cond, body, init)
+    return final.T_icp @ initial_guess

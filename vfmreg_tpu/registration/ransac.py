@@ -1,0 +1,123 @@
+"""RANSAC on correspondences — vmapped Kabsch hypotheses with fused scoring.
+
+Replaces `o3d.pipelines.registration.registration_ransac_based_on_correspondence`
+as invoked at `registration_node.py:319-327`: ransac_n=3, max_correspondence_
+distance=10000 (i.e. every correspondence counts as an inlier), criteria
+(max_iteration=50000, confidence=1 → no early exit). In that all-inlier regime
+Open3D's (fitness, rmse) ranking degenerates to picking the 3-sample model with the
+minimum RMSE over ALL correspondences — which is exactly what this module computes,
+as a batched TPU-friendly reduction:
+
+  * sample [K, 3] correspondence triplets (PRNG, uniform over the valid set);
+  * closed-form Kabsch per triplet (vmapped 3x3 SVD);
+  * score = masked RMSE of |T s_i - t_i| over the full correspondence set, computed
+    as one [K_chunk, N] matmul-shaped pass per chunk;
+  * arg-min over K.
+
+Also includes the correspondence "snap" filter (`registration_node.py:295-310`):
+correspondences are replaced by their nearest points in the voxelized clouds and
+dropped when farther than 1e-3 — behaviorally important for the baseline
+descriptors whose extraction clouds differ from the ICP voxelization.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from vfmreg_tpu.registration.procrustes import kabsch
+
+
+class RansacResult(NamedTuple):
+    pose: jnp.ndarray  # [4, 4] best model
+    rmse: jnp.ndarray  # scalar best score
+    n_corr: jnp.ndarray  # number of valid correspondences used
+
+
+@partial(jax.jit, static_argnames=("num_hypotheses", "chunk", "ransac_n"))
+def ransac_registration(
+    src: jnp.ndarray,  # [N, 3]
+    tgt: jnp.ndarray,  # [N, 3]
+    mask: jnp.ndarray,  # [N]
+    key: jax.Array,
+    num_hypotheses: int = 50000,
+    chunk: int = 1024,
+    ransac_n: int = 3,
+) -> RansacResult:
+    n = src.shape[0]
+    src = src.astype(jnp.float32)
+    tgt = tgt.astype(jnp.float32)
+
+    # Compact valid correspondence indices to the front for uniform sampling.
+    order = jnp.argsort(~mask, stable=True)
+    valid_count = jnp.maximum(jnp.sum(mask.astype(jnp.int32)), 1)
+    src_s, tgt_s = src[order], tgt[order]
+    mask_s = mask[order]
+
+    # Work in centered coordinates for f32 robustness far from the origin; the
+    # final pose is conjugated back (exact for rigid transforms).
+    c = jnp.sum(jnp.where(mask_s[:, None], src_s, 0.0), axis=0) / valid_count
+    src_c = src_s - c
+    tgt_c = tgt_s - c
+
+    picks = jax.random.randint(key, (num_hypotheses, ransac_n), 0, valid_count)
+    n_mask_f = mask_s.astype(jnp.float32)
+    denom = jnp.maximum(jnp.sum(n_mask_f), 1.0)
+
+    def score_chunk(carry, pick_block):
+        best_rmse, best_T = carry
+        tri_src = src_c[pick_block]  # [B, 3, 3]
+        tri_tgt = tgt_c[pick_block]
+        T = kabsch(tri_src, tri_tgt)  # [B, 4, 4]
+        R = T[:, :3, :3]
+        t = T[:, :3, 3]
+        # [B, N] residuals of the full set under each model.
+        moved = jnp.einsum("bij,nj->bni", R, src_c) + t[:, None, :]
+        err2 = jnp.sum((moved - tgt_c[None]) ** 2, axis=-1)
+        mse = jnp.sum(err2 * n_mask_f[None, :], axis=-1) / denom
+        mse = jnp.where(jnp.all(jnp.isfinite(T.reshape(T.shape[0], -1)), axis=-1), mse, jnp.inf)
+        j = jnp.argmin(mse)
+        better = mse[j] < best_rmse
+        best_rmse = jnp.where(better, mse[j], best_rmse)
+        best_T = jnp.where(better, T[j], best_T)
+        return (best_rmse, best_T), None
+
+    pad = (-num_hypotheses) % chunk
+    picks = jnp.pad(picks, ((0, pad), (0, 0)))
+    blocks = picks.reshape(-1, chunk, ransac_n)
+    init = (jnp.float32(jnp.inf), jnp.eye(4, dtype=jnp.float32))
+    (best_mse, best_T_c), _ = jax.lax.scan(score_chunk, init, blocks)
+
+    # Un-center: T_world = Trans(c) @ T_c @ Trans(-c)
+    R = best_T_c[:3, :3]
+    t = best_T_c[:3, 3] + c - R @ c
+    best_T = best_T_c.at[:3, 3].set(t)
+    return RansacResult(pose=best_T, rmse=jnp.sqrt(best_mse), n_corr=valid_count)
+
+
+@partial(jax.jit, static_argnames=("chunk",))
+def snap_correspondences(
+    src: jnp.ndarray,
+    tgt: jnp.ndarray,
+    mask: jnp.ndarray,
+    scan_points: jnp.ndarray,
+    scan_mask: jnp.ndarray,
+    map_points: jnp.ndarray,
+    map_mask: jnp.ndarray,
+    tol: float = 1e-3,
+    chunk: int = 4096,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Replace correspondences by their NN in the voxelized clouds; drop > tol.
+
+    Mirrors the sklearn-KDTree filter at `registration_node.py:295-310`.
+    Returns (snapped_src, snapped_tgt, new_mask).
+    """
+    from vfmreg_tpu.ops.matching import _chunked_argmin_l2
+
+    d2_s, idx_s = _chunked_argmin_l2(src.astype(jnp.float32), scan_points, scan_mask, chunk)
+    d2_t, idx_t = _chunked_argmin_l2(tgt.astype(jnp.float32), map_points, map_mask, chunk)
+    ok = mask & (jnp.sqrt(d2_s) < tol) & (jnp.sqrt(d2_t) < tol)
+    return scan_points[idx_s], map_points[idx_t], ok
