@@ -1,0 +1,144 @@
+"""ViT backbone parity vs transformers.Dinov2Model with random weights (no
+checkpoint downloads), plus flash-attention correctness and feature-generator
+behavior."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from vfmreg_tpu.models.vit import ViTConfig, init_vit_params, load_torch_state_dict, vit_forward
+from vfmreg_tpu.models.image_features import (
+    ImageFeatureGenerator,
+    pca_to_rgb,
+    preprocess_image,
+)
+
+SMALL = ViTConfig(
+    hidden_size=64,
+    num_layers=2,
+    num_heads=4,
+    patch_size=14,
+    pretrain_img_size=56,  # 4x4 pos grid
+    use_flash_attention=False,
+)
+
+
+def _torch_small_model():
+    import torch
+    from transformers import Dinov2Config, Dinov2Model
+
+    cfg = Dinov2Config(
+        hidden_size=SMALL.hidden_size,
+        num_hidden_layers=SMALL.num_layers,
+        num_attention_heads=SMALL.num_heads,
+        intermediate_size=SMALL.hidden_size * 4,
+        patch_size=SMALL.patch_size,
+        image_size=SMALL.pretrain_img_size,
+        layerscale_value=1.0,
+        hidden_act="gelu",
+    )
+    torch.manual_seed(0)
+    model = Dinov2Model(cfg).eval()
+    return model
+
+
+def test_vit_matches_transformers_same_grid(rng):
+    torch = pytest.importorskip("torch")
+    model = _torch_small_model()
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    params = load_torch_state_dict(sd, SMALL)
+
+    img = rng.normal(size=(1, 56, 56, 3)).astype(np.float32)
+    ours = vit_forward(params, jnp.asarray(img), SMALL)
+
+    with torch.no_grad():
+        theirs = model(torch.from_numpy(img.transpose(0, 3, 1, 2))).last_hidden_state.numpy()
+
+    np.testing.assert_allclose(np.asarray(ours["cls"]), theirs[:, 0], atol=2e-4)
+    got_patches = np.asarray(ours["patches"]).reshape(1, -1, SMALL.hidden_size)
+    np.testing.assert_allclose(got_patches, theirs[:, 1:], atol=2e-4)
+
+
+def test_vit_matches_transformers_interpolated_grid(rng):
+    torch = pytest.importorskip("torch")
+    model = _torch_small_model()
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    params = load_torch_state_dict(sd, SMALL)
+
+    # 6x8 patch grid != 4x4 pretrain grid -> pos-embed interpolation kicks in.
+    img = rng.normal(size=(1, 84, 112, 3)).astype(np.float32)
+    ours = vit_forward(params, jnp.asarray(img), SMALL)
+    with torch.no_grad():
+        theirs = model(torch.from_numpy(img.transpose(0, 3, 1, 2))).last_hidden_state.numpy()
+    got = np.asarray(ours["patches"]).reshape(1, -1, SMALL.hidden_size)
+    # jax bicubic (a=-0.5) vs torch bicubic (a=-0.75): small deviation allowed,
+    # but cosine geometry must be preserved.
+    ref = theirs[:, 1:]
+    cos = np.sum(got * ref, -1) / (np.linalg.norm(got, axis=-1) * np.linalg.norm(ref, axis=-1))
+    assert cos.min() > 0.999
+
+
+def test_flash_attention_matches_reference(rng):
+    from vfmreg_tpu.ops.flash_attention import flash_attention, reference_attention
+
+    q = jnp.asarray(rng.normal(size=(2, 200, 4, 32)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(2, 200, 4, 32)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(2, 200, 4, 32)).astype(np.float32))
+    ref = reference_attention(q, k, v)
+    got = flash_attention(q, k, v, block_q=64, block_k=64, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+def test_preprocess_image_shapes():
+    img = np.zeros((1232, 1616, 3), dtype=np.uint8)
+    batch, (h, w) = preprocess_image(img, patch_size=14, patch_h=16)
+    # patch_w = int((224/1232) * 1616 / 14) = 20 -> 280 wide
+    assert batch.shape == (1, 224, 280, 3)
+    assert (h, w) == (1232, 1616)
+
+
+def test_image_feature_generator_upsample(rng):
+    gen = ImageFeatureGenerator("dinov2", config=SMALL, seed=0)
+    img = (rng.uniform(0, 255, (112, 140, 3))).astype(np.uint8)
+    feats = gen.get_image_features(img, upsample=True)
+    assert feats.shape == (112, 140, SMALL.hidden_size)
+    feats_lr = gen.get_image_features(img, upsample=False)
+    assert feats_lr.shape[2] == SMALL.hidden_size
+
+
+def test_feature_cache_roundtrip(tmp_path, rng):
+    gen = ImageFeatureGenerator("dinov2", config=SMALL, seed=0)
+    img = (rng.uniform(0, 255, (56, 56, 3))).astype(np.uint8)
+    cache = tmp_path / "img0.npy"
+    f1 = gen.get_image_features(img, upsample=False, cache_file=cache)
+    assert (tmp_path / "img0_False_False.npy").exists()
+    f2 = gen.get_image_features(img, upsample=False, cache_file=cache)
+    np.testing.assert_array_equal(f1, f2)
+
+
+def test_pca_to_rgb(rng):
+    feats = rng.normal(size=(100, 32)).astype(np.float32)
+    rgb, fit = pca_to_rgb(feats, n_components=3)
+    assert rgb.shape == (100, 3)
+    assert rgb.min() >= 0.0 and rgb.max() <= 1.0
+    # Reusing the fit gives deterministic output
+    rgb2, _ = pca_to_rgb(feats, fit_pca=fit, n_components=3)
+    np.testing.assert_allclose(rgb, rgb2, atol=1e-6)
+
+
+def test_run_pca_zero_rows_black(rng):
+    gen = ImageFeatureGenerator("dinov2", config=SMALL, seed=0)
+    feats = rng.normal(size=(50, 16)).astype(np.float32)
+    feats[:5] = 0.0
+    rgb = gen.run_pca(feats)
+    assert rgb.dtype == np.uint8
+    assert (rgb[:5] == 0).all()
+
+
+def test_compute_similarity(rng):
+    gen = ImageFeatureGenerator("dinov2", config=SMALL, seed=0)
+    emb = rng.normal(size=(16,)).astype(np.float32)
+    feats = np.stack([emb, -emb, np.zeros(16, np.float32)])
+    sims = gen.compute_similarity(feats, emb)
+    np.testing.assert_allclose(sims, [1.0, -1.0, 0.0], atol=1e-5)

@@ -1,0 +1,291 @@
+"""DINOv2 Vision Transformer in pure JAX — the VFM backbone, reimplemented.
+
+The reference treats the ViT as an opaque torch.hub module
+(`vfm_reg/image_features.py:39-51`, FeatUp-wrapped DINOv2 ViT-S/14 → 384-d patch
+features). Here the backbone is native: plain parameter pytrees + a jittable
+forward, with attention running through the Pallas flash-attention kernel on TPU
+(falling back to an einsum softmax path elsewhere).
+
+Architecture (matches `transformers.Dinov2Model`, which matches
+facebookresearch/dinov2):
+  patch conv (14x14/14) -> [cls] + patches + interpolated pos-embed
+  -> 12 x { LN -> MHSA(qkv bias) -> LayerScale -> residual
+            LN -> MLP(gelu exact) -> LayerScale -> residual }
+  -> final LN.
+
+Weight conversion from both the transformers layout (separate q/k/v) and the
+facebook/FeatUp layout (fused qkv) is provided; parity is tested against
+`transformers.Dinov2Model` with random weights (no checkpoint download needed).
+
+Descriptor dim is a config value (384 ViT-S / 768 ViT-B / 1024 ViT-L) — the
+reference's compile-time DESCRIPTOR_SIZE is gone.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class ViTConfig:
+    hidden_size: int = 384
+    num_layers: int = 12
+    num_heads: int = 6
+    mlp_ratio: int = 4
+    patch_size: int = 14
+    layernorm_eps: float = 1e-6
+    pretrain_img_size: int = 518  # pos-embed grid = 37x37 for DINOv2
+    layerscale_init: float = 1.0
+    use_flash_attention: bool = True
+    dtype: Any = jnp.float32
+
+    @property
+    def pos_grid(self) -> int:
+        return self.pretrain_img_size // self.patch_size
+
+
+PRESETS = {
+    "dinov2_vits14": ViTConfig(hidden_size=384, num_layers=12, num_heads=6),
+    "dinov2_vitb14": ViTConfig(hidden_size=768, num_layers=12, num_heads=12),
+    "dinov2_vitl14": ViTConfig(hidden_size=1024, num_layers=24, num_heads=16),
+}
+
+
+def init_vit_params(key: jax.Array, cfg: ViTConfig) -> Dict[str, Any]:
+    """Random (truncated-normal-ish) init; shapes match the converted checkpoints."""
+    d = cfg.hidden_size
+    keys = jax.random.split(key, 4 + cfg.num_layers)
+
+    def dense(key, n_in, n_out):
+        k1, _ = jax.random.split(key)
+        w = jax.random.normal(k1, (n_in, n_out), cfg.dtype) * (1.0 / math.sqrt(n_in))
+        return {"w": w, "b": jnp.zeros((n_out,), cfg.dtype)}
+
+    params: Dict[str, Any] = {
+        "patch_embed": {
+            "w": jax.random.normal(keys[0], (cfg.patch_size, cfg.patch_size, 3, d), cfg.dtype)
+            * 0.02,
+            "b": jnp.zeros((d,), cfg.dtype),
+        },
+        "cls_token": jax.random.normal(keys[1], (1, 1, d), cfg.dtype) * 0.02,
+        "pos_embed": jax.random.normal(keys[2], (1, 1 + cfg.pos_grid**2, d), cfg.dtype) * 0.02,
+        "final_norm": {"scale": jnp.ones((d,), cfg.dtype), "bias": jnp.zeros((d,), cfg.dtype)},
+        "blocks": [],
+    }
+    for i in range(cfg.num_layers):
+        bk = jax.random.split(keys[4 + i], 6)
+        params["blocks"].append(
+            {
+                "norm1": {"scale": jnp.ones((d,), cfg.dtype), "bias": jnp.zeros((d,), cfg.dtype)},
+                "q": dense(bk[0], d, d),
+                "k": dense(bk[1], d, d),
+                "v": dense(bk[2], d, d),
+                "proj": dense(bk[3], d, d),
+                "ls1": jnp.full((d,), cfg.layerscale_init, cfg.dtype),
+                "norm2": {"scale": jnp.ones((d,), cfg.dtype), "bias": jnp.zeros((d,), cfg.dtype)},
+                "fc1": dense(bk[4], d, d * cfg.mlp_ratio),
+                "fc2": dense(bk[5], d * cfg.mlp_ratio, d),
+                "ls2": jnp.full((d,), cfg.layerscale_init, cfg.dtype),
+            }
+        )
+    return params
+
+
+def _layernorm(x, p, eps):
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]
+
+
+def _attention(x, block, cfg: ViTConfig):
+    """MHSA over [B, T, D]."""
+    b, t, d = x.shape
+    h = cfg.num_heads
+    hd = d // h
+    q = (x @ block["q"]["w"] + block["q"]["b"]).reshape(b, t, h, hd)
+    k = (x @ block["k"]["w"] + block["k"]["b"]).reshape(b, t, h, hd)
+    v = (x @ block["v"]["w"] + block["v"]["b"]).reshape(b, t, h, hd)
+
+    if cfg.use_flash_attention and jax.default_backend() == "tpu":
+        from vfmreg_tpu.ops.flash_attention import flash_attention
+
+        out = flash_attention(q, k, v)  # [B, T, H, hd]
+    else:
+        scale = 1.0 / math.sqrt(hd)
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
+        probs = jax.nn.softmax(logits, axis=-1)
+        out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+    out = out.reshape(b, t, d)
+    return out @ block["proj"]["w"] + block["proj"]["b"]
+
+
+def interpolate_pos_embed(pos_embed: jnp.ndarray, grid_h: int, grid_w: int, cfg: ViTConfig):
+    """Bicubic resize of the patch position embeddings to (grid_h, grid_w).
+
+    Mirrors `Dinov2Embeddings.interpolate_pos_encoding` (bicubic,
+    align_corners=False). jax.image bicubic uses the Keys kernel (a=-0.5) vs
+    torch's a=-0.75 — identical when no resize is needed, sub-1e-3 relative
+    difference otherwise (descriptor-geometry impact validated in tests).
+    """
+    cls_pos = pos_embed[:, :1]
+    patch_pos = pos_embed[:, 1:]
+    g = cfg.pos_grid
+    if grid_h == g and grid_w == g:
+        return pos_embed
+    patch_pos = patch_pos.reshape(1, g, g, -1)
+    patch_pos = jax.image.resize(
+        patch_pos, (1, grid_h, grid_w, patch_pos.shape[-1]), method="bicubic"
+    )
+    patch_pos = patch_pos.reshape(1, grid_h * grid_w, -1)
+    return jnp.concatenate([cls_pos, patch_pos], axis=1)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def vit_forward(params: Dict[str, Any], images: jnp.ndarray, cfg: ViTConfig):
+    """Forward pass.
+
+    Args:
+      images: [B, H, W, 3], already resized to patch multiples and normalized
+        (ImageNet mean/std — see `models/image_features.py`).
+    Returns:
+      dict with `cls` [B, D], `patches` [B, h, w, D] (post final-LN tokens).
+    """
+    b, H, W, _ = images.shape
+    p = cfg.patch_size
+    gh, gw = H // p, W // p
+
+    x = jax.lax.conv_general_dilated(
+        images.astype(cfg.dtype),
+        params["patch_embed"]["w"],
+        window_strides=(p, p),
+        padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + params["patch_embed"]["b"]
+    x = x.reshape(b, gh * gw, -1)
+
+    cls = jnp.broadcast_to(params["cls_token"], (b, 1, x.shape[-1]))
+    x = jnp.concatenate([cls, x], axis=1)
+    x = x + interpolate_pos_embed(params["pos_embed"], gh, gw, cfg)
+
+    for block in params["blocks"]:
+        y = _layernorm(x, block["norm1"], cfg.layernorm_eps)
+        x = x + block["ls1"] * _attention(y, block, cfg)
+        y = _layernorm(x, block["norm2"], cfg.layernorm_eps)
+        y = jax.nn.gelu(y @ block["fc1"]["w"] + block["fc1"]["b"], approximate=False)
+        x = x + block["ls2"] * (y @ block["fc2"]["w"] + block["fc2"]["b"])
+
+    x = _layernorm(x, params["final_norm"], cfg.layernorm_eps)
+    return {"cls": x[:, 0], "patches": x[:, 1:].reshape(b, gh, gw, -1)}
+
+
+def load_torch_state_dict(state_dict: Dict[str, np.ndarray], cfg: ViTConfig) -> Dict[str, Any]:
+    """Convert a torch state dict (numpy-valued) into our parameter pytree.
+
+    Supports two layouts:
+      * transformers `Dinov2Model` (`embeddings.*`, `encoder.layer.N.*`, separate
+        `attention.attention.{query,key,value}`);
+      * facebookresearch dinov2 / FeatUp backbone (`patch_embed.proj.*`,
+        `blocks.N.*`, fused `attn.qkv`).
+    """
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    d = cfg.hidden_size
+
+    def t(w):
+        return jnp.asarray(w.T)
+
+    def dense(prefix_w, prefix_b):
+        return {"w": t(sd[prefix_w]), "b": jnp.asarray(sd[prefix_b])}
+
+    params: Dict[str, Any] = {"blocks": []}
+    if any(k.startswith("embeddings.") for k in sd):
+        # transformers layout
+        conv_w = sd["embeddings.patch_embeddings.projection.weight"]  # [D, 3, p, p]
+        params["patch_embed"] = {
+            "w": jnp.asarray(conv_w.transpose(2, 3, 1, 0)),  # HWIO
+            "b": jnp.asarray(sd["embeddings.patch_embeddings.projection.bias"]),
+        }
+        params["cls_token"] = jnp.asarray(sd["embeddings.cls_token"])
+        params["pos_embed"] = jnp.asarray(sd["embeddings.position_embeddings"])
+        params["final_norm"] = {
+            "scale": jnp.asarray(sd["layernorm.weight"]),
+            "bias": jnp.asarray(sd["layernorm.bias"]),
+        }
+        for i in range(cfg.num_layers):
+            pre = f"encoder.layer.{i}."
+            params["blocks"].append(
+                {
+                    "norm1": {
+                        "scale": jnp.asarray(sd[pre + "norm1.weight"]),
+                        "bias": jnp.asarray(sd[pre + "norm1.bias"]),
+                    },
+                    "q": dense(
+                        pre + "attention.attention.query.weight",
+                        pre + "attention.attention.query.bias",
+                    ),
+                    "k": dense(
+                        pre + "attention.attention.key.weight",
+                        pre + "attention.attention.key.bias",
+                    ),
+                    "v": dense(
+                        pre + "attention.attention.value.weight",
+                        pre + "attention.attention.value.bias",
+                    ),
+                    "proj": dense(
+                        pre + "attention.output.dense.weight",
+                        pre + "attention.output.dense.bias",
+                    ),
+                    "ls1": jnp.asarray(sd[pre + "layer_scale1.lambda1"]),
+                    "norm2": {
+                        "scale": jnp.asarray(sd[pre + "norm2.weight"]),
+                        "bias": jnp.asarray(sd[pre + "norm2.bias"]),
+                    },
+                    "fc1": dense(pre + "mlp.fc1.weight", pre + "mlp.fc1.bias"),
+                    "fc2": dense(pre + "mlp.fc2.weight", pre + "mlp.fc2.bias"),
+                    "ls2": jnp.asarray(sd[pre + "layer_scale2.lambda1"]),
+                }
+            )
+    else:
+        # facebook / FeatUp layout (fused qkv)
+        conv_w = sd["patch_embed.proj.weight"]
+        params["patch_embed"] = {
+            "w": jnp.asarray(conv_w.transpose(2, 3, 1, 0)),
+            "b": jnp.asarray(sd["patch_embed.proj.bias"]),
+        }
+        params["cls_token"] = jnp.asarray(sd["cls_token"])
+        params["pos_embed"] = jnp.asarray(sd["pos_embed"])
+        params["final_norm"] = {
+            "scale": jnp.asarray(sd["norm.weight"]),
+            "bias": jnp.asarray(sd["norm.bias"]),
+        }
+        for i in range(cfg.num_layers):
+            pre = f"blocks.{i}."
+            qkv_w = sd[pre + "attn.qkv.weight"]  # [3D, D]
+            qkv_b = sd[pre + "attn.qkv.bias"]
+            params["blocks"].append(
+                {
+                    "norm1": {
+                        "scale": jnp.asarray(sd[pre + "norm1.weight"]),
+                        "bias": jnp.asarray(sd[pre + "norm1.bias"]),
+                    },
+                    "q": {"w": t(qkv_w[:d]), "b": jnp.asarray(qkv_b[:d])},
+                    "k": {"w": t(qkv_w[d : 2 * d]), "b": jnp.asarray(qkv_b[d : 2 * d])},
+                    "v": {"w": t(qkv_w[2 * d :]), "b": jnp.asarray(qkv_b[2 * d :])},
+                    "proj": dense(pre + "attn.proj.weight", pre + "attn.proj.bias"),
+                    "ls1": jnp.asarray(sd[pre + "ls1.gamma"]),
+                    "norm2": {
+                        "scale": jnp.asarray(sd[pre + "norm2.weight"]),
+                        "bias": jnp.asarray(sd[pre + "norm2.bias"]),
+                    },
+                    "fc1": dense(pre + "mlp.fc1.weight", pre + "mlp.fc1.bias"),
+                    "fc2": dense(pre + "mlp.fc2.weight", pre + "mlp.fc2.bias"),
+                    "ls2": jnp.asarray(sd[pre + "ls2.gamma"]),
+                }
+            )
+    return params

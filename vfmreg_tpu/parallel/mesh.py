@@ -1,0 +1,92 @@
+"""Device-mesh parallelism for batched registration.
+
+The reference is a single-process, single-GPU pipeline whose only parallelism is
+TBB/faiss CPU threading (SURVEY.md §2a note). The TPU-native equivalent is
+first-class here: scan-map pairs are batched with `vmap` within a chip and sharded
+with `shard_map` over the `data` axis of a `jax.sharding.Mesh` (ICI), with
+`psum` for cross-device success/statistics reductions. No NCCL to port — XLA
+collectives ride the interconnect.
+
+Batched pair layout: every scan/map in a batch is padded to the same static
+(N_scan, M_map) bucket; grids are built per-pair with vmap (the sorted-bucket
+construction is itself just sorts/scans, so it vmaps cleanly).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from vfmreg_tpu.ops.hash_grid import build_hash_grid
+from vfmreg_tpu.ops.matching import get_vfm_correspondences
+from vfmreg_tpu.registration.vfm_icp import register_frame_vfm
+
+
+def make_mesh(axis_names: Tuple[str, ...] = ("data",), shape: Tuple[int, ...] = None) -> Mesh:
+    """1-D (or N-D) mesh over all available devices."""
+    devices = np.asarray(jax.devices())
+    if shape is None:
+        shape = (len(devices),) + (1,) * (len(axis_names) - 1)
+    return Mesh(devices.reshape(shape), axis_names)
+
+
+def _single_pair_register(
+    map_pts, map_feats, map_mask, scan_pts, scan_feats, scan_mask, voxel_size, sigma
+):
+    """One scan-to-map VFM registration (match -> VFM-ICP -> geometric refine)."""
+    grid = build_hash_grid(map_pts, voxel_size, mask=map_mask, feats=map_feats)
+    corr = get_vfm_correspondences(
+        grid.points, grid.feats, grid.valid, scan_pts, scan_feats, scan_mask
+    )
+    pose, _, _, _ = register_frame_vfm(
+        grid,
+        scan_pts,
+        scan_mask,
+        corr,
+        jnp.eye(4, dtype=jnp.float32),
+        max_correspondence_distance=3.0 * sigma,
+        kernel=sigma / 3.0,
+        max_iterations=100,
+    )
+    return pose, corr.count
+
+
+@partial(jax.jit, static_argnames=())
+def batched_registration_step(
+    map_pts, map_feats, map_mask, scan_pts, scan_feats, scan_mask
+):
+    """vmap over a batch of scan-map pairs on one chip. Shapes: [B, M, 3] etc."""
+    voxel_size = jnp.float32(1.0)
+    sigma = jnp.float32(2.0)
+    fn = jax.vmap(_single_pair_register, in_axes=(0, 0, 0, 0, 0, 0, None, None))
+    return fn(map_pts, map_feats, map_mask, scan_pts, scan_feats, scan_mask, voxel_size, sigma)
+
+
+def sharded_registration_step(mesh: Mesh):
+    """Return a jitted function sharding the pair batch over the `data` axis.
+
+    Inside each shard the per-device sub-batch runs vmapped; a `psum` over the
+    mesh reduces the global correspondence count (demonstrates ICI collectives in
+    the registration path; more to come with the trainer).
+    """
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P("data"), P("data"), P("data"), P("data"), P("data"), P("data")),
+        out_specs=(P("data"), P("data"), P()),
+        check_vma=False,  # scan carries start replicated (constants) inside the shard
+    )
+    def step(map_pts, map_feats, map_mask, scan_pts, scan_feats, scan_mask):
+        poses, counts = batched_registration_step(
+            map_pts, map_feats, map_mask, scan_pts, scan_feats, scan_mask
+        )
+        total = jax.lax.psum(jnp.sum(counts), "data")
+        return poses, counts, total
+
+    return jax.jit(step)
