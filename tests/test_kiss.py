@@ -1,0 +1,195 @@
+"""kiss layer: VoxelHashMap host API, register_frame dispatch, KissICP odometry
+on a synthetic corridor trajectory, OdometryPipeline outputs."""
+
+import numpy as np
+import pytest
+from scipy.spatial.transform import Rotation as R
+
+from vfmreg_tpu.config import KISSConfig, load_config
+from vfmreg_tpu.kiss import (
+    KissICP,
+    VoxelHashMap,
+    get_voxel_hash_map,
+    register_frame,
+    voxel_down_sample,
+)
+from vfmreg_tpu.kiss.pipeline import OdometryPipeline
+
+
+def test_voxel_down_sample_api(rng):
+    pts = rng.uniform(-10, 10, (1000, 3)).astype(np.float32)
+    out = voxel_down_sample(pts, 0.5)
+    assert out.shape[1] == 3
+    assert out.shape[0] < 1000
+    # Descriptor columns carried
+    ptsd = np.c_[pts, rng.normal(size=(1000, 8)).astype(np.float32)]
+    outd = voxel_down_sample(ptsd, 0.5)
+    assert outd.shape[1] == 11
+    assert outd.shape[0] == out.shape[0]
+
+
+def test_voxel_hash_map_cap_and_pointcloud(rng):
+    m = VoxelHashMap(voxel_size=1.0, max_distance=100.0, max_points_per_voxel=5)
+    pts = (0.5 + 0.4 * rng.uniform(-1, 1, (50, 3))).astype(np.float32)  # one voxel
+    m.add_points(pts)
+    pc = m.point_cloud()
+    assert pc.shape[0] == 5
+    # First five (insertion order) survive
+    got = {tuple(np.round(p, 5)) for p in pc}
+    ref = {tuple(np.round(p, 5)) for p in pts[:5]}
+    assert got == ref
+
+
+def test_voxel_hash_map_remove_far(rng):
+    m = VoxelHashMap(voxel_size=1.0, max_distance=10.0, max_points_per_voxel=20)
+    near = rng.uniform(-5, 5, (100, 3)).astype(np.float32)
+    far = 50.0 + rng.uniform(0, 5, (100, 3)).astype(np.float32)
+    m.add_points(np.concatenate([near, far]))
+    m.remove_far_away_points(np.zeros(3))
+    pc = m.point_cloud()
+    assert np.all(np.linalg.norm(pc, axis=1) < 15.0)
+
+
+def test_voxel_hash_map_update_transforms(rng):
+    m = VoxelHashMap(voxel_size=1.0, max_distance=100.0, max_points_per_voxel=20)
+    pts = rng.uniform(-5, 5, (200, 3)).astype(np.float32)
+    pose = np.eye(4)
+    pose[:3, 3] = [10.0, 0.0, 0.0]
+    m.update(pts, pose)
+    pc = m.point_cloud()
+    assert abs(pc[:, 0].mean() - 10.0) < 1.0
+
+
+def test_get_correspondences_api(rng):
+    m = VoxelHashMap(voxel_size=1.0, max_distance=100.0, max_points_per_voxel=20)
+    pts = rng.uniform(-10, 10, (500, 3)).astype(np.float32)
+    m.add_points(pts)
+    src, tgt = m.get_correspondences(pts[:50] + 0.05, 0.5)
+    assert src.shape == tgt.shape
+    assert src.shape[0] >= 45  # nearly all should match within 0.5
+    assert np.all(np.linalg.norm(src - tgt, axis=1) < 0.5)
+
+
+def test_get_vfm_correspondences_api(rng):
+    m = VoxelHashMap(voxel_size=1.0, max_distance=100.0, max_points_per_voxel=20)
+    pts = rng.uniform(-10, 10, (300, 3)).astype(np.float32)
+    feats = rng.normal(size=(300, 16)).astype(np.float32)
+    m.add_points(np.c_[pts, feats])
+    src, tgt = m.get_vfm_correspondences(np.c_[pts[:40] + 0.01, feats[:40]], 0.8)
+    assert src.shape[0] == 40
+    np.testing.assert_allclose(tgt, pts[:40], atol=1e-4)
+
+
+def _corridor_scan(rng, n=1500):
+    """Synthetic corridor: floor + two walls + pillars (x-structure so forward
+    motion is observable — a bare corridor is translation-degenerate for ICP)."""
+    x = rng.uniform(0, 40, (n, 1))
+    kind = rng.randint(0, 3, n)
+    y = np.where(kind == 0, rng.uniform(-4, 4, n), np.where(kind == 1, -4.0, 4.0))
+    z = np.where(kind == 0, 0.0, rng.uniform(0, 3, n))
+    pts = np.c_[x, y[:, None], z[:, None]].astype(np.float32)
+    # Transverse walls (doorway-like planes) every 8 m: dense, unambiguous
+    # nearest-neighbor pull along x.
+    cross = []
+    for px in (8.0, 16.0, 24.0, 32.0):
+        m = n // 3
+        cross.append(
+            np.c_[
+                np.full((m, 1), px) + rng.normal(0, 0.02, (m, 1)),
+                rng.uniform(-4, 4, (m, 1)),
+                rng.uniform(0.5, 3, (m, 1)),
+            ].astype(np.float32)
+        )
+    pts = np.concatenate([pts] + cross)
+    pts += rng.normal(0, 0.02, pts.shape).astype(np.float32)
+    return pts
+
+
+class CorridorDataset:
+    """Vehicle drives straight down a corridor at 1 m/frame."""
+
+    def __init__(self, n_frames=8, seed=0):
+        self.rng = np.random.RandomState(seed)
+        self.world = _corridor_scan(self.rng, 8000)
+        self.gt_poses = []
+        self.frames = []
+        for i in range(n_frames):
+            T = np.eye(4)
+            T[0, 3] = i * 1.0
+            self.gt_poses.append(T)
+            local = (self.world - T[:3, 3]).astype(np.float32)
+            keep = (np.linalg.norm(local, axis=1) < 25.0) & (local[:, 0] > -1.0)
+            self.frames.append(local[keep])
+        self.sequence_id = "corridor"
+
+    def __len__(self):
+        return len(self.frames)
+
+    def __getitem__(self, idx):
+        return self.frames[idx]
+
+
+def test_kiss_icp_odometry_straight_line():
+    # voxel = max_range/100 = 1.0 -> 27-voxel search reach ~2 m > 1 m/frame motion
+    config = load_config(None, deskew=False, max_range=None)
+    ds = CorridorDataset(n_frames=6)
+    odom = KissICP(config)
+    for i in range(len(ds)):
+        odom.register_frame(ds[i], np.zeros(ds[i].shape[0]))
+    assert len(odom.poses) == 6
+    # Forward motion ~1 m/frame recovered
+    final = odom.poses[-1]
+    assert abs(final[0, 3] - 5.0) < 0.5
+    assert abs(final[1, 3]) < 0.3
+    assert abs(final[2, 3]) < 0.3
+
+
+def test_odometry_pipeline_outputs(tmp_path):
+    config_yaml = tmp_path / "cfg.yaml"
+    config_yaml.write_text(f"out_dir: {tmp_path}/results\n")
+    ds = CorridorDataset(n_frames=5)
+    pipe = OdometryPipeline(ds, config=config_yaml)
+    results = pipe.run()
+    assert not results.empty()
+    # Pose dumps exist in all three formats
+    assert (tmp_path / "results" / "latest").exists()
+    latest = tmp_path / "results" / "latest"
+    assert (latest / "corridor_poses.npy").exists()
+    assert (latest / "corridor_poses_kitti.txt").exists()
+    assert (latest / "corridor_poses_tum.txt").exists()
+    assert (latest / "corridor_gt_kitti.txt").exists()
+    assert (latest / "config.yml").exists()
+    assert (latest / "result_metrics.log").exists()
+    poses = np.load(latest / "corridor_poses.npy")
+    assert poses.shape == (5, 4, 4)
+
+
+def test_register_frame_empty_map_returns_guess(rng):
+    config = load_config(None, deskew=False, max_range=100.0)
+    m = get_voxel_hash_map(config)
+    guess = np.eye(4)
+    guess[:3, 3] = [1.0, 2.0, 3.0]
+    pose = register_frame(rng.uniform(-5, 5, (100, 3)), m, guess, 3.0, 1.0)
+    np.testing.assert_allclose(pose, guess)
+
+
+def test_register_frame_vfm_dispatch(rng):
+    """[N, 3+D] against a descriptor map goes through the VFM path and recovers
+    an offset that pure geometry could not."""
+    config = load_config(None, deskew=False, max_range=100.0)
+    pts = np.c_[rng.uniform(-40, 40, (2000, 2)), rng.uniform(0, 5, (2000, 1))].astype(np.float32)
+    W = rng.normal(size=(3, 16)).astype(np.float32)
+    feats = np.sin(pts @ W * 0.12).astype(np.float32)
+    m = get_voxel_hash_map(config)
+    m.add_points(np.c_[pts, feats])
+
+    T = np.eye(4)
+    T[:3, :3] = R.from_euler("z", 20, degrees=True).as_matrix()
+    T[:3, 3] = [10.0, -6.0, 0.0]
+    scan = (pts - T[:3, 3]) @ T[:3, :3]  # inverse transform
+    pose, src, tgt = register_frame(
+        np.c_[scan, feats], m, np.eye(4), 3.0, 1.0,
+        src_=np.zeros((1, 3)), tgt_=np.zeros((1, 3)),
+    )
+    assert np.linalg.norm(pose[:3, 3] - T[:3, 3]) < 0.5
+    assert src.shape == tgt.shape and src.shape[0] > 0

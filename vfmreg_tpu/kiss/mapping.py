@@ -1,0 +1,207 @@
+"""Host-facing VoxelHashMap with the reference's Python API.
+
+Mirrors `kiss_icp/mapping.py:30-131` (method names included) and the C++
+semantics of `core/VoxelHashMap.{hpp,cpp}`: first-`max_points_per_voxel` cap in
+insertion order, whole-voxel eviction when the voxel's first point leaves
+`max_distance` of the origin, shape-dispatched add/update for [N,3] and [N,3+D]
+clouds.
+
+Storage strategy (TPU-first): points accumulate on the host in insertion order
+(ragged appends are host work); the device-side sorted-bucket `HashGrid` is built
+lazily per query and cached until the map mutates, with capacities bucketed to
+powers of two so recompilation stays bounded. When the native C++ backend
+(`vfmreg_tpu/native`) is built, incremental maintenance moves there.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+from vfmreg_tpu.config import KISSConfig
+from vfmreg_tpu.kiss.voxelization import _voxel_keys
+from vfmreg_tpu.ops.hash_grid import HashGrid, build_hash_grid, nearest_neighbors
+from vfmreg_tpu.ops.matching import get_vfm_correspondences as _device_vfm_corr
+from vfmreg_tpu.ops.voxel import bucket_size
+
+
+def get_voxel_hash_map(config: KISSConfig) -> "VoxelHashMap":
+    """`kiss_icp/mapping.py:30-36`."""
+    return VoxelHashMap(
+        voxel_size=config.mapping.voxel_size,
+        max_distance=config.data.max_range,
+        max_points_per_voxel=config.mapping.max_points_per_voxel,
+    )
+
+
+class VoxelHashMap:
+    def __init__(self, voxel_size: float, max_distance: float, max_points_per_voxel: int = 20):
+        self.voxel_size = float(voxel_size)
+        self.max_distance = float(max_distance)
+        self.max_points_per_voxel = int(max_points_per_voxel)
+        self._points = np.zeros((0, 3), dtype=np.float32)
+        self._feats: Optional[np.ndarray] = None  # [N, D] when descriptor clouds added
+        self._grid: Optional[HashGrid] = None  # device cache
+
+    # ------------------------------------------------------------- mutation API
+    def clear(self):
+        self._points = np.zeros((0, 3), dtype=np.float32)
+        self._feats = None
+        self._grid = None
+
+    def empty(self) -> bool:
+        return self._points.shape[0] == 0
+
+    # Reference exposes per-variant empties (`mapping.py:50-57`); here one store.
+    empty_n = empty
+    empty_x = empty
+
+    def _split(self, points: np.ndarray) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+        points = np.asarray(points)
+        if points.ndim != 2 or points.shape[1] < 3:
+            raise ValueError("Invalid shape")
+        xyz = np.ascontiguousarray(points[:, :3], dtype=np.float32)
+        feats = None
+        if points.shape[1] > 3:
+            feats = np.ascontiguousarray(points[:, 3:], dtype=np.float32)
+        return xyz, feats
+
+    def add_points(self, points: np.ndarray):
+        """`VoxelHashMap::AddPoints` (`VoxelHashMap.cpp:733-770`).
+
+        The per-voxel cap is enforced at grid-build time over the concatenated
+        insertion-ordered array — identical kept-set to incremental insertion.
+        """
+        xyz, feats = self._split(points)
+        if xyz.shape[0] == 0:
+            return
+        if self._points.shape[0] == 0:
+            self._points, self._feats = xyz, feats
+        else:
+            if (feats is None) != (self._feats is None):
+                raise ValueError("Cannot mix descriptor and plain clouds in one map")
+            self._points = np.concatenate([self._points, xyz])
+            if feats is not None:
+                self._feats = np.concatenate([self._feats, feats])
+        self._grid = None
+
+    def update(self, points: np.ndarray, pose: np.ndarray = np.eye(4)):
+        """Transform by pose, add, evict far voxels (`VoxelHashMap.cpp:678-731`)."""
+        xyz, feats = self._split(points)
+        pose = np.asarray(pose, dtype=np.float64)
+        xyz = (xyz @ pose[:3, :3].T + pose[:3, 3]).astype(np.float32)
+        self.add_points(xyz if feats is None else np.c_[xyz, feats])
+        self.remove_far_away_points(pose[:3, 3])
+
+    def remove_far_away_points(self, origin: np.ndarray):
+        """Evict voxels whose FIRST point is farther than max_distance
+        (`RemovePointsFarFromLocation`, `VoxelHashMap.cpp:772-796`)."""
+        if self.empty():
+            return
+        origin = np.asarray(origin, dtype=np.float32).reshape(3)
+        keys = _voxel_keys(self._points, self.voxel_size)
+        uniq, first_idx, inverse = np.unique(keys, return_index=True, return_inverse=True)
+        first_pts = self._points[first_idx]
+        far = np.sum((first_pts - origin) ** 2, axis=1) > self.max_distance**2
+        keep = ~far[inverse]
+        self._points = self._points[keep]
+        if self._feats is not None:
+            self._feats = self._feats[keep]
+        self._grid = None
+
+    # --------------------------------------------------------------- device side
+    def device_grid(self) -> HashGrid:
+        """The (cached) sorted-bucket grid with capped-per-voxel semantics."""
+        if self._grid is None:
+            n = max(self._points.shape[0], 1)
+            cap = bucket_size(n)
+            pts = np.zeros((cap, 3), dtype=np.float32)
+            pts[: self._points.shape[0]] = self._points
+            mask = np.zeros((cap,), dtype=bool)
+            mask[: self._points.shape[0]] = True
+            feats = None
+            if self._feats is not None:
+                feats = np.zeros((cap, self._feats.shape[1]), dtype=np.float32)
+                feats[: self._feats.shape[0]] = self._feats
+            import jax.numpy as jnp
+
+            self._grid = build_hash_grid(
+                jnp.asarray(pts),
+                self.voxel_size,
+                mask=jnp.asarray(mask),
+                feats=jnp.asarray(feats) if feats is not None else None,
+                max_points_per_voxel=self.max_points_per_voxel,
+            )
+        return self._grid
+
+    # ---------------------------------------------------------------- query API
+    def point_cloud(self) -> np.ndarray:
+        """Capped stored points, [M, 3] (`Pointcloud`, `VoxelHashMap.cpp:628-660`)."""
+        grid = self.device_grid()
+        valid = np.asarray(grid.valid)
+        return np.asarray(grid.points)[valid]
+
+    def point_cloud_n(self) -> np.ndarray:
+        """Capped stored points with descriptors, [M, 3+D] (`PointcloudN`)."""
+        grid = self.device_grid()
+        if grid.feats is None:
+            raise ValueError("Map has no descriptors")
+        valid = np.asarray(grid.valid)
+        return np.c_[np.asarray(grid.points)[valid], np.asarray(grid.feats)[valid]]
+
+    def get_correspondences(
+        self, points: np.ndarray, max_correspondance_distance: float
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """27-voxel NN pairs within max distance (`GetCorrespondences`).
+
+        Accepts [N,3] or [N,3+D] queries; like the reference Nd/Xd overloads the
+        descriptors ride along in the returned source rows but do not influence
+        the search (`VoxelHashMap.cpp:172-319`, cosine weighting disabled).
+        """
+        import jax.numpy as jnp
+
+        pts = np.asarray(points)
+        xyz, _ = self._split(pts)
+        n = bucket_size(max(xyz.shape[0], 1))
+        q = np.zeros((n, 3), dtype=np.float32)
+        q[: xyz.shape[0]] = xyz
+        qmask = np.zeros((n,), dtype=bool)
+        qmask[: xyz.shape[0]] = True
+        nbr, dist, found = nearest_neighbors(self.device_grid(), jnp.asarray(q), jnp.asarray(qmask))
+        accept = np.asarray(found) & (np.asarray(dist) < max_correspondance_distance)
+        accept = accept[: xyz.shape[0]]
+        return pts[accept], np.asarray(nbr)[: xyz.shape[0]][accept]
+
+    def get_vfm_correspondences(
+        self, points: np.ndarray, min_cosine_similarity: float
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Cosine 1-NN descriptor matches (`GetVFMCorrespondences`,
+        `VoxelHashMap.cpp:461-626`). points: [N, 3+D]."""
+        import jax.numpy as jnp
+
+        pts = np.asarray(points)
+        xyz, feats = self._split(pts)
+        if feats is None:
+            raise ValueError("get_vfm_correspondences needs descriptor points")
+        grid = self.device_grid()
+        if grid.feats is None:
+            raise ValueError("Map has no descriptors")
+        n = bucket_size(max(xyz.shape[0], 1))
+        q = np.zeros((n, 3), dtype=np.float32)
+        qf = np.zeros((n, feats.shape[1]), dtype=np.float32)
+        q[: xyz.shape[0]] = xyz
+        qf[: xyz.shape[0]] = feats
+        qmask = np.zeros((n,), dtype=bool)
+        qmask[: xyz.shape[0]] = True
+        corr = _device_vfm_corr(
+            grid.points,
+            grid.feats,
+            grid.valid,
+            jnp.asarray(q),
+            jnp.asarray(qf),
+            jnp.asarray(qmask),
+            min_cosine_similarity=min_cosine_similarity,
+        )
+        m = np.asarray(corr.mask)
+        return np.asarray(corr.source)[m], np.asarray(corr.target)[m]

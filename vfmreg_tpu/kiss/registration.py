@@ -1,0 +1,115 @@
+"""Shape-dispatched `register_frame` with the reference signature.
+
+Mirrors `kiss_icp/registration.py:28-73`:
+  * [N, 3]         -> plain geometric ICP (`Registration.cpp:145-195`);
+  * [N, 3+D] with D matching the map's descriptors -> VFM-ICP
+    (`Registration.cpp:197-382`), optionally returning the correspondence pair
+    when `src_`/`tgt_` sentinels are passed;
+  * [N, >3] otherwise -> XD path, identical to 3D on coordinates
+    (`Registration.cpp:384-422`, descriptor weighting disabled in the reference).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from vfmreg_tpu.kiss.mapping import VoxelHashMap
+from vfmreg_tpu.kiss.voxelization import voxel_down_sample
+from vfmreg_tpu.ops.voxel import bucket_size
+from vfmreg_tpu.registration.icp import register_frame_icp
+from vfmreg_tpu.registration.vfm_icp import register_frame_vfm
+
+VFM_SOURCE_VOXEL = 5.0  # Registration.cpp:217
+VFM_MIN_SOURCE_POINTS = 100  # Registration.cpp:218
+
+
+def _pad(points: np.ndarray):
+    import jax.numpy as jnp
+
+    n = bucket_size(max(points.shape[0], 1))
+    out = np.zeros((n, points.shape[1]), dtype=np.float32)
+    out[: points.shape[0]] = points
+    mask = np.zeros((n,), dtype=bool)
+    mask[: points.shape[0]] = True
+    return jnp.asarray(out), jnp.asarray(mask)
+
+
+def register_frame(
+    points: np.ndarray,
+    voxel_map: VoxelHashMap,
+    initial_guess: np.ndarray,
+    max_correspondance_distance: float,
+    kernel: float,
+    src_: Optional[np.ndarray] = None,
+    tgt_: Optional[np.ndarray] = None,
+):
+    import jax.numpy as jnp
+
+    points = np.asarray(points)
+    initial_guess = np.asarray(initial_guess, dtype=np.float64)
+    if points.ndim != 2 or points.shape[1] < 3:
+        raise ValueError("Invalid shape")
+
+    if voxel_map.empty():
+        # `RegisterFrame` returns the guess on an empty map (`Registration.cpp:150`)
+        if points.shape[1] > 3 and src_ is not None:
+            return initial_guess, src_, tgt_
+        return initial_guess
+
+    grid = voxel_map.device_grid()
+    descriptor_dim = 0 if grid.feats is None else grid.feats.shape[1]
+    is_vfm = points.shape[1] == 3 + descriptor_dim and descriptor_dim > 0
+
+    if not is_vfm:
+        # 3D / XD path: coordinates only.
+        xyz, mask = _pad(np.ascontiguousarray(points[:, :3], dtype=np.float32))
+        pose = register_frame_icp(
+            grid,
+            xyz,
+            mask,
+            jnp.asarray(initial_guess, dtype=jnp.float32),
+            max_correspondance_distance,
+            kernel,
+        )
+        return np.asarray(pose, dtype=np.float64)
+
+    # ---------------------------------------------------------------- VFM path
+    do_return = src_ is not None and tgt_ is not None
+
+    # Transform by the guess, heavily voxelize for the correspondence search.
+    xyz = points[:, :3] @ initial_guess[:3, :3].T + initial_guess[:3, 3]
+    source_nd = np.c_[xyz.astype(np.float32), points[:, 3:]]
+    voxelized = voxel_down_sample(source_nd, VFM_SOURCE_VOXEL)
+    if voxelized.shape[0] < VFM_MIN_SOURCE_POINTS:
+        voxelized = source_nd  # `Registration.cpp:218-221`
+
+    from vfmreg_tpu.ops.matching import get_vfm_correspondences as _vfm
+
+    q, qmask = _pad(voxelized)
+    corr = _vfm(
+        grid.points,
+        grid.feats,
+        grid.valid,
+        q[:, :3],
+        q[:, 3:],
+        qmask,
+        min_cosine_similarity=0.8,  # Registration.cpp:215
+    )
+
+    frame_xyz, frame_mask = _pad(np.ascontiguousarray(points[:, :3], dtype=np.float32))
+    pose, src_out, tgt_out, corr_mask = register_frame_vfm(
+        grid,
+        frame_xyz,
+        frame_mask,
+        corr,
+        jnp.asarray(initial_guess, dtype=jnp.float32),
+        max_correspondance_distance,
+        kernel,
+    )
+    pose = np.asarray(pose, dtype=np.float64)
+    if do_return:
+        m = np.asarray(corr_mask)
+        return pose, np.asarray(src_out)[m], np.asarray(tgt_out)[m]
+    return pose
