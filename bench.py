@@ -17,9 +17,21 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 BASELINE_REG_PER_SEC_PER_CHIP = 50.0 / 8.0
 
 
+def _enable_compilation_cache():
+    """Persistent compile cache: the axon remote-compile path takes minutes for
+    the ICP while-loop programs; the cache brings warm runs to sub-second."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+
+
 def main():
     import jax
     import jax.numpy as jnp
+
+    _enable_compilation_cache()
 
     from __graft_entry__ import _synthetic_batch
     from vfmreg_tpu.parallel.mesh import batched_registration_step

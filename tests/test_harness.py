@@ -1,0 +1,93 @@
+"""End-to-end harness test: fabricate a reference-layout H5 scene, run the
+RegistrationNode method matrix (vfm + fpfh), check recall and error dumps."""
+
+import pickle
+
+import numpy as np
+import pytest
+
+from vfmreg_tpu.data.h5io import read_scenes, save_scene
+from vfmreg_tpu.pipeline.print_errors import main as print_errors_main
+from vfmreg_tpu.pipeline.registration_node import RegistrationNode
+
+
+def make_world(rng, n=6000, d=24, extent=60.0):
+    pts = np.c_[
+        rng.uniform(-extent, extent, (n, 2)), rng.uniform(0, 8, (n, 1))
+    ].astype(np.float32)
+    W = rng.normal(size=(3, d)).astype(np.float32)
+    feats = np.sin(pts @ W * 0.08).astype(np.float32)
+    return pts, feats
+
+
+@pytest.fixture(scope="module")
+def scene_h5(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("scenes")
+    rng = np.random.RandomState(0)
+    pts, feats = make_world(rng)
+
+    # Two overlapping "map scans" in local frames + two query scans.
+    map_poses, map_clouds = [], []
+    for cx in (-15.0, 15.0):
+        T = np.eye(4)
+        T[0, 3] = cx
+        keep = np.abs(pts[:, 0] - cx) < 40.0
+        local = pts[keep] - T[:3, 3]
+        map_poses.append(T)
+        map_clouds.append(np.c_[local, feats[keep]])
+
+    seq_poses, seq_clouds = [], []
+    for cx in (-5.0, 8.0):
+        T = np.eye(4)
+        T[:3, 3] = [cx, 3.0, 0.0]
+        keep = np.linalg.norm(pts[:, :2] - T[:2, 3], axis=1) < 30.0
+        local = pts[keep] - T[:3, 3]
+        sub = rng.choice(local.shape[0], min(3000, local.shape[0]), replace=False)
+        seq_poses.append(T)
+        seq_clouds.append(np.c_[local[sub], feats[keep][sub]])
+
+    path = tmp / "scene_000.h5"
+    save_scene(path, ["seq_map", "seq_a", "seq_b"], map_poses, map_clouds, seq_poses, seq_clouds)
+    return tmp
+
+
+def test_h5_roundtrip(scene_h5):
+    scene = read_scenes(scene_h5 / "scene_000.h5")
+    assert len(scene["map_poses"]) == 2
+    assert len(scene["scene_poses"]) == 2
+    assert scene["map_point_clouds"][0].shape[1] == 27
+
+
+def test_registration_node_end_to_end(scene_h5, capsys):
+    node = RegistrationNode(
+        scene_h5,
+        methods_ransac=[("vfm", True)],
+        methods_teaser=[("vfm", False)],
+        methods_pointdsc=[],
+    )
+    node.make_step()
+    assert node.stop_publishing is False or node.scene_idx == 1
+    # vfm_ransac_icp errors recorded for both scans and registration succeeded
+    assert len(node.trans_errors["vfm_ransac_icp"]) == 2
+    recall = node.compute_success_rate("vfm_ransac_icp", 0.6, 1.5)
+    assert recall == 1.0, (node.trans_errors, node.rot_errors)
+
+    out = capsys.readouterr().out
+    assert "Correspondences" in out
+    assert "Rotation error" in out
+
+
+def test_error_dump_and_print(scene_h5, tmp_path):
+    node = RegistrationNode(
+        scene_h5, methods_ransac=[("vfm", True)], methods_teaser=[], methods_pointdsc=[]
+    )
+    node.make_step()
+    pkl = tmp_path / "mode.pkl"
+    node.dump_errors(pkl)
+    with open(pkl, "rb") as f:
+        data = pickle.load(f)
+    assert "rot" in data and "trans" in data
+
+    recalls = print_errors_main(pkl, error_txt_dir=tmp_path)
+    assert (tmp_path / "error.txt").exists()
+    assert recalls["vfm_ransac_icp"][(0.6, 1.5)] == 100.0

@@ -1,0 +1,696 @@
+"""The evaluation driver — behavioral clone of `registration_node.py` (reference
+L5, `src/vfm-reg/src/registration_node.py:44-1100`), minus ROS (visualization is
+a pluggable callback; ROS is viz-only per the reference README).
+
+Per scene (`make_step`, `:548`):
+  * accumulate + 0.25 m-voxelize the descriptor map (splitting in two above 1e6
+    points, `:568-578`), strip to 3+D dims;
+  * per query scan: 0.1 m voxelize; manual RobotCar GT fixes (`:597-623`);
+    GT pose = noiseless KISS-ICP (`:644-646`); optional semantic cluster-removal
+    / insertion experiments (`:684-828`); optional scan-to-scan noise (`:843-856`);
+  * run the method matrix: RANSAC x {fpfh,dip,gedi,fcgf,gcl,spinnet,vfm},
+    TEASER x {fpfh,vfm}, PointDSC x {fpfh,fcgf}, vanilla ICP — each with ICP
+    refinement (`:866-932`);
+  * accumulate geodesic RRE / L2 RTE per method (`:997-1019`) and print the
+    success-rate tables at (0.3,15) (0.6,1.5) (2,5) (`:973-987`).
+"""
+
+from __future__ import annotations
+
+import pickle
+from pathlib import Path
+from time import time
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from vfmreg_tpu.config import load_config
+from vfmreg_tpu.data.h5io import read_scenes
+from vfmreg_tpu.descriptors import get_extractor
+from vfmreg_tpu.geometry.metrics import success_rate
+from vfmreg_tpu.kiss import get_voxel_hash_map, register_frame, voxel_down_sample
+from vfmreg_tpu.ops.matching import mutual_nn_correspondences
+from vfmreg_tpu.ops.voxel import bucket_size
+from vfmreg_tpu.registration.ransac import ransac_registration as _device_ransac
+from vfmreg_tpu.registration.ransac import snap_correspondences
+from vfmreg_tpu.registration.teaser import teaser_registration as _device_teaser
+from vfmreg_tpu.utils import print_msg, transform_pcl
+
+# Reference budgets (`registration_node.py:319-327`, `:112-127`).
+RANSAC_HYPOTHESES = 50000
+TEASER_NOISE_BOUND = 0.2
+
+
+def _pad(arr: np.ndarray, n: Optional[int] = None):
+    arr = np.asarray(arr, dtype=np.float32)
+    if n is None:
+        n = bucket_size(max(arr.shape[0], 1))
+    out = np.zeros((n,) + arr.shape[1:], dtype=np.float32)
+    out[: arr.shape[0]] = arr
+    mask = np.zeros((n,), dtype=bool)
+    mask[: arr.shape[0]] = True
+    return jnp.asarray(out), jnp.asarray(mask)
+
+
+def orthogonalize(Rm: np.ndarray) -> np.ndarray:
+    """Newton-iteration orthogonalization (`registration_node.py:333-335`)."""
+    R = np.asarray(Rm, dtype=np.float64)
+    for _ in range(50):
+        if abs(1.0 - np.linalg.det(R)) <= 1e-12:
+            break
+        R = 1.5 * R - 0.5 * (R @ R.T @ R)
+    return R
+
+
+class RegistrationNode:
+    """API mirror of the reference class (`registration_node.py:44`)."""
+
+    def __init__(
+        self,
+        folder: Path,
+        interactive: bool = False,
+        cluster_removal_prob: float = 0,
+        scan_to_scan: Optional[str] = None,
+        methods_ransac: Optional[List[Tuple[str, bool]]] = None,
+        methods_teaser: Optional[List[Tuple[str, bool]]] = None,
+        methods_pointdsc: Optional[List[Tuple[str, bool]]] = None,
+        feature_generator=None,
+        viz=None,
+        rng_seed: int = 42,
+    ) -> None:
+        self.interactive = interactive
+        self.cluster_removal_prob = cluster_removal_prob
+        self.scan_to_scan = scan_to_scan
+        assert self.scan_to_scan in [None, "data", "kitti"]
+
+        self.dino_generator = feature_generator  # run_pca provider for experiments
+        self.viz = viz
+
+        self.filenames = sorted(Path(folder).glob("scene_*.h5"))
+        self.scene_idx = 0
+        self.scan_idx = 0
+        self.map_descriptor_cache: Dict[str, tuple] = {}
+
+        self.rot_errors: Dict[str, List[float]] = {}
+        self.trans_errors: Dict[str, List[float]] = {}
+        self.registration_success: Dict[str, List[bool]] = {}
+        self.points_in_map: List[int] = []
+        self.stop_publishing = False
+
+        # Reference default matrices (`registration_node.py:867-917`), filtered to
+        # the extractors available in this build.
+        def available(pairs):
+            out = []
+            for m, icp in pairs:
+                if m == "vfm":
+                    out.append((m, icp))
+                    continue
+                try:
+                    get_extractor(m)
+                    out.append((m, icp))
+                except (KeyError, ImportError):
+                    pass
+            return out
+
+        self.methods_ransac = available(
+            methods_ransac
+            if methods_ransac is not None
+            else [(m, True) for m in ("fpfh", "dip", "gedi", "fcgf", "gcl", "spinnet", "vfm")]
+        )
+        self.methods_teaser = available(
+            methods_teaser if methods_teaser is not None else [("fpfh", True), ("vfm", True)]
+        )
+        self.methods_pointdsc = available(
+            methods_pointdsc if methods_pointdsc is not None else [("fpfh", True), ("fcgf", True)]
+        )
+
+        self.config = load_config(None, deskew=False, max_range=None)
+        print("Sigma:", self.config.adaptive_threshold.initial_threshold)
+        print("Voxel size:", self.config.mapping.voxel_size)
+        print("Max points per voxel:", self.config.mapping.max_points_per_voxel)
+        print("=" * 80)
+
+    # ------------------------------------------------------------ registrations
+    def _voxelize_scan(self, raw_scan: np.ndarray) -> np.ndarray:
+        """KISS double-downsample, 0.5 v then 1.0 v (`registration_node.py:289-290`)."""
+        vs = self.config.mapping.voxel_size
+        down = voxel_down_sample(raw_scan[:, :3], vs * 0.5)
+        return voxel_down_sample(down, vs * 1.0)
+
+    def compute_vfm_correspondences(
+        self, voxel_map: np.ndarray, raw_scan: np.ndarray, initial_pose: np.ndarray = np.eye(4)
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """`compute_vfm_correspondences` (`registration_node.py:396-425`)."""
+        vs = self.config.mapping.voxel_size
+        downsample_scan = voxel_down_sample(raw_scan, vs * 0.5)
+        voxel_scan = voxel_down_sample(downsample_scan, vs * 1.0)
+
+        voxel_hash_map = get_voxel_hash_map(self.config)
+        voxel_hash_map.add_points(voxel_map)
+
+        pcl = transform_pcl(voxel_scan, initial_pose)
+        print(f"Map size: {voxel_hash_map.point_cloud().shape[0]}, Scan size: {voxel_scan.shape[0]}")
+
+        voxel_pcl = voxel_down_sample(pcl, 5.0)
+        correspondences = voxel_hash_map.get_vfm_correspondences(voxel_pcl, 0.8)
+        if correspondences[0].shape[0] < 75:
+            print("[WARNING] Voxelized too sparse, retrying with a larger voxel size")
+            voxel_pcl = voxel_down_sample(pcl, 1.0)
+            correspondences = voxel_hash_map.get_vfm_correspondences(voxel_pcl, 0.8)
+        return correspondences
+
+    def compute_correspondences(
+        self, voxel_map: np.ndarray, raw_scan: np.ndarray, method: str, mutual_filter: bool = False
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Baseline-descriptor correspondence path (`registration_node.py:427-546`)
+        with the per-method map-descriptor cache."""
+        down_map, feats_map = self.map_descriptor_cache.get(method, (None, None))
+
+        extractor = get_extractor(method)
+        if method == "fpfh":
+            down_scan, feats_scan = extractor(raw_scan, 0.1)
+            if down_map is None:
+                down_map, feats_map = extractor(voxel_map, 0.1)
+        elif method in ("dip", "gedi"):
+            down_scan, feats_scan = extractor(raw_scan, 0.1)
+            if down_map is None:
+                down_map, feats_map = extractor(voxel_map, 0.1)
+        elif method in ("gcl", "fcgf"):
+            down_scan, feats_scan = extractor(raw_scan, 0.3)
+            if down_map is None:
+                down_map, feats_map = extractor(voxel_map, 0.3)
+        elif method == "spinnet":
+            down_scan, feats_scan = extractor(raw_scan, 7500)
+            if down_map is None:
+                down_map, feats_map = extractor(voxel_map, 7500)
+        else:
+            raise ValueError(f"Invalid method: {method}")
+        self.map_descriptor_cache[method] = (down_map, feats_map)
+
+        n0 = bucket_size(feats_scan.shape[0])
+        n1 = bucket_size(feats_map.shape[0])
+        f0, m0 = _pad(feats_scan, n0)
+        f1, m1 = _pad(feats_map, n1)
+        mnn = mutual_nn_correspondences(
+            f0, m0, f1, m1, mutual_filter=mutual_filter, n_points=5000
+        )
+        keep = np.asarray(mnn.mask)[: feats_scan.shape[0]]
+        idx1 = np.asarray(mnn.idx1)[: feats_scan.shape[0]]
+        source = down_scan[keep]
+        target = down_map[idx1[keep]]
+        return source, target
+
+    def ransac_registration(
+        self, voxel_map: np.ndarray, raw_scan: np.ndarray, method: str, run_icp: bool = False
+    ):
+        """`ransac_registration` (`registration_node.py:273-357`)."""
+        if method == "vfm":
+            src, tgt = self.compute_vfm_correspondences(voxel_map, raw_scan)
+        else:
+            src, tgt = self.compute_correspondences(voxel_map[:, :3], raw_scan[:, :3], method)
+        print(f"[{method}] Correspondences: {src.shape[0]}")
+
+        voxel_scan = self._voxelize_scan(raw_scan)
+        voxel_hash_map = get_voxel_hash_map(self.config)
+        voxel_hash_map.add_points(voxel_map[:, :3])
+        voxel_map_3d = voxel_hash_map.point_cloud()
+        print(f"[{method}] Map size: {voxel_map_3d.shape[0]}, Scan size: {voxel_scan.shape[0]}")
+
+        # Snap correspondences into the voxelized clouds, tol 1e-3 (`:295-310`).
+        s_pts, s_mask = _pad(src)
+        t_pts, _ = _pad(tgt, s_pts.shape[0])
+        scan_pts, scan_mask = _pad(voxel_scan)
+        map_pts, map_mask = _pad(voxel_map_3d)
+        snapped_src, snapped_tgt, snap_mask = snap_correspondences(
+            s_pts, t_pts, s_mask, scan_pts, scan_mask, map_pts, map_mask, tol=1e-3
+        )
+        n_kept = int(np.asarray(snap_mask).sum())
+        print(f"[{method}] Correspondences after filtering: {n_kept}")
+
+        res = _device_ransac(
+            snapped_src,
+            snapped_tgt,
+            snap_mask,
+            jax.random.PRNGKey(self.scan_idx),
+            num_hypotheses=RANSAC_HYPOTHESES,
+        )
+        ransac_pose = np.asarray(res.pose, dtype=np.float64)
+
+        if run_icp:
+            ransac_pose[:3, :3] = orthogonalize(ransac_pose[:3, :3])
+            sigma = self.config.adaptive_threshold.initial_threshold
+            pose = register_frame(
+                points=voxel_scan,
+                voxel_map=voxel_hash_map,
+                initial_guess=ransac_pose,
+                max_correspondance_distance=3 * sigma,
+                kernel=sigma / 3,
+            )
+            return ransac_pose, pose
+        return ransac_pose, None
+
+    def teaser_registration(
+        self, voxel_map: np.ndarray, raw_scan: np.ndarray, method: str, run_icp: bool = False
+    ):
+        """`teaser_registration` (`registration_node.py:91-159`)."""
+        if method == "fpfh":
+            src, tgt = self.compute_correspondences(
+                voxel_map[:, :3], raw_scan[:, :3], "fpfh", mutual_filter=True
+            )
+        elif method == "vfm":
+            src, tgt = self.compute_vfm_correspondences(voxel_map, raw_scan)
+        else:
+            raise ValueError(f"Invalid method: {method}")
+        print(f"[{method}] Correspondences: {src.shape[0]}")
+
+        s_pts, s_mask = _pad(src)
+        t_pts, _ = _pad(tgt, s_pts.shape[0])
+        res = _device_teaser(s_pts, t_pts, s_mask, noise_bound=TEASER_NOISE_BOUND)
+        teaser_pose = np.asarray(res.pose, dtype=np.float64)
+
+        if run_icp:
+            voxel_hash_map = get_voxel_hash_map(self.config)
+            voxel_hash_map.add_points(voxel_map[:, :3])
+            voxel_scan = self._voxelize_scan(raw_scan)
+            teaser_pose[:3, :3] = orthogonalize(teaser_pose[:3, :3])
+            sigma = self.config.adaptive_threshold.initial_threshold
+            pose = register_frame(
+                points=voxel_scan,
+                voxel_map=voxel_hash_map,
+                initial_guess=teaser_pose,
+                max_correspondance_distance=3 * sigma,
+                kernel=sigma / 3,
+            )
+            return teaser_pose, pose
+        return teaser_pose, None
+
+    def pointsdc_registration(
+        self,
+        voxel_map: np.ndarray,
+        raw_scan: np.ndarray,
+        method: str,
+        n_points: int,
+        run_icp: bool = False,
+    ):
+        """`pointsdc_registration` (`registration_node.py:161-271`): descriptor
+        argmin correspondences -> top-n by distance -> PointDSC outlier rejection."""
+        from vfmreg_tpu.models.pointdsc import get_pointdsc_model
+
+        voxel_hash_map = get_voxel_hash_map(self.config)
+        voxel_hash_map.add_points(voxel_map[:, :3])
+        map_pcl = voxel_map[:, :3]
+
+        extractor = get_extractor(method)
+        if method == "fcgf":
+            src_pts, src_features = extractor(raw_scan[:, :3], 0.3)
+            tgt_pts, tgt_features = extractor(map_pcl, 0.3)
+        elif method == "fpfh":
+            src_pts, src_features = extractor(raw_scan[:, :3], 0.3, normalize=True)
+            tgt_pts, tgt_features = extractor(map_pcl, 0.3, normalize=True)
+        else:
+            raise ValueError(f"Invalid method: {method}")
+
+        # Nearest map descriptor per scan descriptor via sqrt(2 - 2 f1 f2^T)
+        # (`:196-209`) == L2 argmin for unit features; keep top n_points (`:211-214`).
+        f0, m0 = _pad(src_features)
+        f1, m1 = _pad(tgt_features)
+        mnn = mutual_nn_correspondences(f0, m0, f1, m1, mutual_filter=False, n_points=n_points)
+        keep = np.asarray(mnn.mask)[: src_features.shape[0]]
+        idx1 = np.asarray(mnn.idx1)[: src_features.shape[0]]
+        src_keypts = src_pts[keep]
+        tgt_keypts = tgt_pts[idx1[keep]]
+        print(f"[{method}] Correspondences: {src_keypts.shape[0]}")
+
+        model = get_pointdsc_model()
+        pointdsc_pose = model.register(src_keypts, tgt_keypts).astype(np.float64)
+
+        if run_icp:
+            voxel_scan = self._voxelize_scan(raw_scan)
+            pointdsc_pose[:3, :3] = orthogonalize(pointdsc_pose[:3, :3])
+            sigma = self.config.adaptive_threshold.initial_threshold
+            pose = register_frame(
+                points=voxel_scan,
+                voxel_map=voxel_hash_map,
+                initial_guess=pointdsc_pose,
+                max_correspondance_distance=3 * sigma,
+                kernel=sigma / 3,
+            )
+            return pointdsc_pose, pose
+        return pointdsc_pose, None
+
+    def icp_registration(
+        self,
+        voxel_map: np.ndarray,
+        raw_scan: np.ndarray,
+        initial_pose: Optional[np.ndarray] = None,
+        dist: float = 3,
+    ) -> np.ndarray:
+        """`icp_registration` (`registration_node.py:359-394`)."""
+        vs = self.config.mapping.voxel_size
+        downsample_scan = voxel_down_sample(raw_scan, vs * 0.5)
+        voxel_scan = voxel_down_sample(downsample_scan, vs * 1.0)
+
+        voxel_hash_map = get_voxel_hash_map(self.config)
+        voxel_hash_map.add_points(voxel_map)
+        print(
+            f"Map size: {voxel_hash_map.point_cloud().shape[0]}, Scan size: {voxel_scan.shape[0]}"
+        )
+
+        sigma = self.config.adaptive_threshold.initial_threshold
+        if initial_pose is None:
+            initial_pose = np.eye(4)
+        if raw_scan.shape[1] == 3:
+            return register_frame(
+                points=voxel_scan,
+                voxel_map=voxel_hash_map,
+                initial_guess=initial_pose,
+                max_correspondance_distance=dist * sigma,
+                kernel=sigma / dist,
+            )
+        a = time()
+        pose, src_, tgt_ = register_frame(
+            points=voxel_scan,
+            voxel_map=voxel_hash_map,
+            initial_guess=initial_pose,
+            max_correspondance_distance=dist * sigma,
+            kernel=sigma / dist,
+            src_=np.array([[0, 0, 0]]),
+            tgt_=np.array([[0, 0, 0]]),
+        )
+        print(f"ICP time: {(time() - a):.5f}")
+        if self.viz is not None:
+            self.viz("correspondences", (src_, tgt_))
+        return pose
+
+    # ----------------------------------------------------------------- stepping
+    def _accumulate_map(self, scene) -> np.ndarray:
+        """Map accumulation + 0.25 m voxelization with the >1e6 split
+        (`registration_node.py:556-580`)."""
+        voxel_size = 0.25
+        parts = []
+        for pose, pcl in zip(scene["map_poses"], scene["map_point_clouds"]):
+            pcl = pcl[np.sum(pcl[:, 3:], axis=1) > 0]  # drop descriptor-less points
+            pcl = voxel_down_sample(pcl, voxel_size).astype(pcl.dtype)
+            parts.append(transform_pcl(pcl, pose))
+        local_map = np.concatenate(parts, axis=0).astype(np.float32)
+        if local_map.shape[0] > 1000000:
+            mean_3d = np.mean(local_map[:, :3], axis=0)
+            map_a = voxel_down_sample(local_map[local_map[:, 0] > mean_3d[0]], voxel_size)
+            map_b = voxel_down_sample(local_map[local_map[:, 0] <= mean_3d[0]], voxel_size)
+            local_map = np.concatenate([map_a, map_b], axis=0).astype(np.float32)
+        else:
+            local_map = voxel_down_sample(local_map, voxel_size).astype(np.float32)
+        descriptor_dim = local_map.shape[1] - 3
+        local_map = local_map[:, : 3 + min(descriptor_dim, 384)]
+        print(f"Map voxelization (0.25m): {local_map.shape[0]}")
+        return local_map
+
+    # Manual RobotCar GT improvements (`registration_node.py:597-623`).
+    _ROBOTCAR_GT_FIX = {
+        0: [15, 5, 0], 6: [3.5, 2, 0], 7: [10, 8, 0], 10: [5, 2, 0], 12: [3, 1, 0],
+        13: [4, 2, 0], 14: [-2, 2, 0], 15: [3, 2, 0], 17: [2, 2, 0], 18: [8, 2, 0],
+        21: [2, 1, 0], 23: [5, 2, 0], 24: [0, 2, 0],
+    }
+
+    def _apply_cluster_removal(self, local_map: np.ndarray, rng_cluster_removal) -> np.ndarray:
+        """Semantic cluster-removal experiment (`registration_node.py:684-792`):
+        DINOv2-PCA color match -> isolated-point filter -> kNN region growth ->
+        HDBSCAN clustering -> per-cluster random removal."""
+        import scipy.stats
+        from sklearn.cluster import HDBSCAN
+
+        from vfmreg_tpu.utils import KNeighbors
+
+        if self.dino_generator is None:
+            raise ValueError("cluster removal requires a feature_generator (run_pca)")
+        remove_classes = [
+            np.array([[217, 60, 165], [118, 105, 57]], dtype=np.float32)  # trees
+        ]
+        local_map_pca = self.dino_generator.run_pca(local_map[:, 3:], n_components=3)
+        for remove_class in remove_classes:
+            del_idx = []
+            for color in remove_class:
+                distance = np.linalg.norm(local_map_pca - color, axis=1)
+                del_idx.append(np.flatnonzero(distance < 50))
+            del_idx = np.concatenate(del_idx)
+
+            knn = KNeighbors()
+            knn.fit(local_map[del_idx, :3], del_idx)
+            n_neighbors = knn.n_neighbors_in_radius(local_map[del_idx, :3], 10, 0.5)
+            del_idx = del_idx[n_neighbors >= 3]
+            keep_idx = np.delete(np.arange(local_map.shape[0]), del_idx)
+            knn = KNeighbors()
+            knn.fit(local_map[keep_idx, :3], keep_idx)
+            knn_idx = knn.query(local_map[del_idx, :3], 50, 0.5)
+            del_idx = np.concatenate([del_idx, knn_idx])
+
+            a = time()
+            clusterer = HDBSCAN(min_cluster_size=100, min_samples=25)
+            cluster_labels = clusterer.fit_predict(local_map[del_idx, :3])
+            print(
+                f"Clustering time: {(time() - a):.5f} | Clusters: {cluster_labels.max() + 1} "
+                f"| Outliers: {np.sum(cluster_labels == -1)}"
+            )
+            del_idx = del_idx[cluster_labels != -1]
+            cluster_labels = cluster_labels[cluster_labels != -1]
+
+            for label in range(cluster_labels.max() + 1):
+                if rng_cluster_removal.standard_normal() > scipy.stats.norm.ppf(
+                    self.cluster_removal_prob
+                ):
+                    del_idx = del_idx[cluster_labels != label]
+                    cluster_labels = cluster_labels[cluster_labels != label]
+            keep_idx = np.delete(np.arange(local_map.shape[0]), del_idx)
+            local_map = local_map[keep_idx]
+            self.points_in_map.append(local_map.shape[0])
+        print(f"Semantic-filtered map: {local_map.shape[0]}")
+        return local_map
+
+    def make_step(self) -> None:
+        """One scene (`registration_node.py:548-989`)."""
+        from scipy.spatial.transform import Rotation as Rot
+
+        if self.scene_idx >= len(self.filenames):
+            self.stop_publishing = True
+            return
+
+        print(f"Current scene ID: {self.scene_idx} | {self.filenames[self.scene_idx].name}")
+        scene = read_scenes(self.filenames[self.scene_idx])
+        scene_local_map = self._accumulate_map(scene)
+
+        rng = np.random.RandomState(seed=42)
+        rng_cluster_removal = np.random.RandomState(seed=42)
+
+        for i, (pose, point_cloud) in enumerate(
+            zip(scene["scene_poses"], scene["scene_point_clouds"])
+        ):
+            results: Dict[str, Optional[np.ndarray]] = {}
+            print("=" * 80)
+            self.scan_idx = i
+            tmp = point_cloud.shape
+            point_cloud = voxel_down_sample(point_cloud, 0.1).astype(point_cloud.dtype)
+            print(f"Scan voxelization (0.1m): {tmp[0]} -> {point_cloud.shape[0]}")
+
+            pose = np.array(pose, dtype=np.float64)
+            if "robotcar" in self.filenames[self.scene_idx].as_posix():
+                fix = self._ROBOTCAR_GT_FIX.get(self.scene_idx)
+                if fix is not None:
+                    pose[:3, 3] += np.array(fix, dtype=np.float64)
+
+            # GT pose: noiseless KISS-ICP (`:644-646`).
+            print(f'{"--- Ground truth: ICP w/o noise ---":-^80}')
+            gt_pose = self.icp_registration(scene_local_map[:, :3], point_cloud[:, :3], pose)
+            print(f'{"--- Ground truth: ICP w/o noise ---":-^80}')
+
+            local_map = scene_local_map
+            if self.scan_to_scan == "data":
+                map_poses = np.array([p[:3, 3] for p in scene["map_poses"]])
+                dists = np.linalg.norm(pose[:3, 3] - map_poses, axis=1)
+                nearest = int(dists.argmin())
+                local_map = transform_pcl(
+                    scene["map_point_clouds"][nearest], scene["map_poses"][nearest]
+                )
+                local_map = voxel_down_sample(local_map, 0.1).astype(local_map.dtype)
+
+            if self.cluster_removal_prob > 0:
+                local_map = self._apply_cluster_removal(local_map, rng_cluster_removal)
+
+            # Initial guess (`:843-857`): scan-to-scan adds synthetic odometry noise.
+            if self.scan_to_scan is not None:
+                t_noise = np.r_[rng.normal(0, 10, 2), rng.normal(0, 1, 1)]
+                r_noise = np.r_[rng.normal(0, 2, 2), rng.normal(0, 10, 1)]
+                initial_pose = gt_pose.copy()
+                euler = Rot.from_matrix(initial_pose[:3, :3]).as_euler("xyz")
+                initial_pose[:3, :3] = Rot.from_euler(
+                    "xyz", euler + np.deg2rad(r_noise)
+                ).as_matrix()
+                initial_pose[:3, 3] = initial_pose[:3, 3] + t_noise
+            else:
+                initial_pose = np.eye(4)
+
+            # All computed poses are relative to this initial guess (`:859-861`).
+            point_cloud = transform_pcl(point_cloud, initial_pose)
+
+            print(f'{"--- RANSAC ---":-^80}')
+            for method, run_icp in self.methods_ransac:
+                key = f"{method}_ransac"
+                results[key], results[f"{key}_icp"] = self.ransac_registration(
+                    local_map, point_cloud, method, run_icp
+                )
+            print(f'{"--- TEASER ---":-^80}')
+            for method, run_icp in self.methods_teaser:
+                key = f"{method}_teaser"
+                results[key], results[f"{key}_icp"] = self.teaser_registration(
+                    local_map, point_cloud, method, run_icp
+                )
+            if self.methods_pointdsc:
+                print(f'{"--- PointDSC ---":-^80}')
+                for method, run_icp in self.methods_pointdsc:
+                    key = f"{method}_pointdsc"
+                    try:
+                        results[key], results[f"{key}_icp"] = self.pointsdc_registration(
+                            local_map, point_cloud, method, 10000, run_icp
+                        )
+                    except (ImportError, FileNotFoundError) as e:
+                        print(f"[pointdsc:{method}] skipped: {e}")
+            print(f'{"--- Vanilla ICP ---":-^80}')
+            results["icp"] = self.icp_registration(
+                local_map[:, :3], point_cloud[:, :3], dist=7
+            )
+
+            # Errors (`:935-954`).
+            print("=" * 80)
+            print(
+                f"Scene: {self.scene_idx + 1}/{len(self.filenames)} "
+                f"({self.filenames[self.scene_idx].name}) | {i + 1}/{len(scene['scene_poses'])}"
+            )
+            print_msg(gt_pose, "GT pose")
+            print_msg(initial_pose, "Initial guess")
+            print("-" * 80)
+            for k, v in results.items():
+                if v is None:
+                    continue
+                v = v @ initial_pose
+                rte, rre = self.compute_errors(gt_pose, v, k)
+                print_msg(v, k, color="green" if (rte < 0.3 and rre < 15) else None)
+            print("-" * 80)
+            print(f"Points in map: {local_map.shape}")
+            print("=" * 80)
+
+        self.scene_idx += 1
+        self._print_summary()
+
+    # ------------------------------------------------------------------ metrics
+    def compute_errors(self, pose, gt_pose, method: str) -> Tuple[float, float]:
+        """Geodesic RRE / L2 RTE with per-method accumulation
+        (`registration_node.py:997-1019`). NOTE argument order follows the
+        reference call site: compute_errors(gt_pose, estimated, name)."""
+        R = pose[:3, :3]
+        R_gt = gt_pose[:3, :3]
+        rot_error = abs(np.arccos(min(max(((R.T @ R_gt).trace() - 1) / 2, -1.0), 1.0)))
+        rot_error = float(np.rad2deg(rot_error))
+        trans_error = float(np.linalg.norm(pose[:3, 3] - gt_pose[:3, 3]))
+        self.rot_errors.setdefault(method, []).append(rot_error)
+        self.trans_errors.setdefault(method, []).append(trans_error)
+        return trans_error, rot_error
+
+    def compute_success_rate(self, method, translation_threshold, rotation_threshold) -> float:
+        return success_rate(
+            self.trans_errors[method], self.rot_errors[method],
+            translation_threshold, rotation_threshold,
+        )
+
+    def _print_summary(self):
+        print("=" * 80)
+        for method, rot_error in self.rot_errors.items():
+            print(
+                f"Rotation error ({method:<20}): "
+                f"{np.mean(rot_error):.3f} ± {np.std(rot_error):.3f}"
+            )
+        print("-" * 80)
+        for method, trans_error in self.trans_errors.items():
+            print(
+                f"Translat error ({method:<20}): "
+                f"{np.mean(trans_error):.3f} ± {np.std(trans_error):.3f}"
+            )
+        print("-" * 80)
+        thresholds = [(0.3, 15), (0.6, 1.5), (2, 5)]
+        header = f"{'':<20}: "
+        for t in thresholds:
+            header += f"{t[0]:>3}, {t[1]:<3} | "
+        print(header[:-2])
+        for method in self.rot_errors.keys():
+            row = f"{method:<20}: "
+            for t in thresholds:
+                row += f"{100 * self.compute_success_rate(method, *t):>8.2f} | "
+            print(row[:-2])
+        print("-" * 80)
+        if self.points_in_map:
+            print(f"Points in map: {np.mean(self.points_in_map)}")
+        print("=" * 80)
+
+    def dump_errors(self, error_file: Path):
+        """Pickle layout of `registration_node.py:1092-1100`."""
+        error_file = Path(error_file)
+        error_file.parent.mkdir(exist_ok=True, parents=True)
+        with open(error_file, "wb") as f:
+            pickle.dump(
+                {
+                    "rot": self.rot_errors,
+                    "trans": self.trans_errors,
+                    "points_in_map": self.points_in_map,
+                },
+                f,
+            )
+
+
+def main():
+    """CLI mirror of `registration_node.py:1033-1100`."""
+    import argparse
+    import datetime
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("folder", type=str)
+    parser.add_argument("--interactive", action="store_true", help="Pauses after each scene.")
+    parser.add_argument(
+        "--cluster-removal-sweep",
+        action="store_true",
+        help="Run the 0..100%% cluster-removal experiment sweep",
+    )
+    args = parser.parse_args()
+
+    datetime_now = datetime.datetime.now().strftime("%Y-%m-%d_%H-%M-%S")
+    if args.cluster_removal_sweep:
+        cluster_removal_probs = [
+            ("000", 0), ("020", 0.2), ("040", 0.4), ("060", 0.6), ("080", 0.8),
+            ("100", 1.0), ("010", 0.1), ("030", 0.3), ("050", 0.5), ("070", 0.7),
+            ("090", 0.9),
+        ]
+    else:
+        cluster_removal_probs = [(None, 0)]
+
+    for mode_name, prob in cluster_removal_probs:
+        mode_str = f"_{mode_name}" if mode_name is not None else ""
+        data_dir = Path(args.folder)
+        node = RegistrationNode(data_dir, args.interactive, prob, None)
+        times = []
+        while not node.stop_publishing:
+            start = time()
+            node.make_step()
+            times.append(time() - start)
+            avg = np.mean(times)
+            remaining = (len(node.filenames) - node.scene_idx) * avg
+            print(
+                f"\033[93m Average time per step: {avg:.3f} s | "
+                f"Remaining: {remaining // 3600}h {(remaining % 3600) // 60}min \033[0m"
+            )
+            if args.interactive and not node.stop_publishing:
+                input("Press Enter to continue with next scene...\n")
+        node.dump_errors(data_dir / f"errors_{datetime_now}" / f"mode{mode_str}.pkl")
+
+
+if __name__ == "__main__":
+    main()
