@@ -1,0 +1,56 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+from scipy.spatial.transform import Rotation as R
+
+from vfmreg_tpu.models.pointdsc import PointDSCModel, init_pointdsc_params, pointdsc_forward
+
+
+def make_corrs(rng, n=400, outlier_frac=0.6, noise=0.03):
+    T = np.eye(4)
+    T[:3, :3] = R.from_euler("xyz", rng.uniform(-40, 40, 3), degrees=True).as_matrix()
+    T[:3, 3] = rng.uniform(-5, 5, 3)
+    src = rng.uniform(-10, 10, (n, 3)).astype(np.float32)
+    tgt = (src @ T[:3, :3].T + T[:3, 3] + rng.normal(0, noise, (n, 3))).astype(np.float32)
+    n_out = int(n * outlier_frac)
+    out_idx = rng.choice(n, n_out, replace=False)
+    tgt[out_idx] = rng.uniform(-15, 15, (n_out, 3))
+    return src, tgt, T
+
+
+def test_pointdsc_shapes(rng):
+    params = init_pointdsc_params(jax.random.PRNGKey(0), num_layers=2)
+    src, tgt, T = make_corrs(rng, n=128, outlier_frac=0.3)
+    corr = np.c_[src, tgt] - np.c_[src, tgt].mean(0)
+    out = pointdsc_forward(
+        params,
+        jnp.asarray(corr),
+        jnp.asarray(src),
+        jnp.asarray(tgt),
+        jnp.ones(128, dtype=bool),
+    )
+    assert out["final_trans"].shape == (4, 4)
+    assert np.all(np.isfinite(np.asarray(out["final_trans"])))
+
+
+def test_pointdsc_spatial_consistency_recovers_pose(rng):
+    """Even with random network weights, the spatial-consistency power iteration
+    + inlier-count selection + post-refinement recover the pose (the learned
+    part mainly sharpens seeds/features)."""
+    model = PointDSCModel(seed=0)
+    # Random weights need hypotheses within the 0.1 m refinement basin, so
+    # lower noise than the trained model handles (see module docstring).
+    src, tgt, T = make_corrs(rng, n=512, outlier_frac=0.5, noise=0.005)
+    got = model.register(src, tgt)
+    te = np.linalg.norm(got[:3, 3] - T[:3, 3])
+    cos = np.clip((np.trace(got[:3, :3].T @ T[:3, :3]) - 1) / 2, -1, 1)
+    re = np.rad2deg(np.arccos(cos))
+    assert te < 0.1 and re < 1.0, (te, re)
+
+
+def test_pointdsc_subsamples_large_input(rng):
+    model = PointDSCModel(seed=0, max_corr=256)
+    src, tgt, T = make_corrs(rng, n=1000, outlier_frac=0.2, noise=0.02)
+    got = model.register(src, tgt)
+    te = np.linalg.norm(got[:3, 3] - T[:3, 3])
+    assert te < 0.3
