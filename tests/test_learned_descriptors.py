@@ -1,0 +1,92 @@
+"""DIP / GeDi / pointnet2 ops: shape, invariance, and pipeline tests with
+random weights (checkpoints are supplied by the user via env vars)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from scipy.spatial.transform import Rotation as R
+
+from vfmreg_tpu.ops.pointnet2 import (
+    ball_query,
+    furthest_point_sampling,
+    three_interpolate,
+    three_nn,
+)
+
+
+def test_fps_spreads_points(rng):
+    pts = rng.uniform(-10, 10, (1, 500, 3)).astype(np.float32)
+    idx = np.asarray(furthest_point_sampling(jnp.asarray(pts), 32))[0]
+    assert len(set(idx.tolist())) == 32
+    # FPS points are more spread than random: min pairwise distance is large
+    sel = pts[0, idx]
+    d = np.linalg.norm(sel[:, None] - sel[None], axis=-1) + np.eye(32) * 1e9
+    rand_sel = pts[0, rng.choice(500, 32, replace=False)]
+    d_r = np.linalg.norm(rand_sel[:, None] - rand_sel[None], axis=-1) + np.eye(32) * 1e9
+    assert d.min() > d_r.min()
+
+
+def test_ball_query_semantics(rng):
+    pts = rng.uniform(0, 1, (1, 100, 3)).astype(np.float32)
+    centers = pts[:, :5]
+    idx = np.asarray(ball_query(0.3, 16, jnp.asarray(pts), jnp.asarray(centers)))[0]
+    for s in range(5):
+        d = np.linalg.norm(pts[0, idx[s]] - centers[0, s], axis=-1)
+        assert np.all(d < 0.3)
+        # first listed index is the smallest in-ball index
+        in_ball = np.flatnonzero(np.linalg.norm(pts[0] - centers[0, s], axis=-1) < 0.3)
+        assert idx[s, 0] == in_ball[0]
+
+
+def test_three_nn_interpolate(rng):
+    unknown = rng.uniform(0, 1, (1, 20, 3)).astype(np.float32)
+    known = rng.uniform(0, 1, (1, 8, 3)).astype(np.float32)
+    dist, idx = three_nn(jnp.asarray(unknown), jnp.asarray(known))
+    assert dist.shape == (1, 20, 3)
+    # Exact check vs brute force
+    d_all = np.linalg.norm(unknown[0][:, None] - known[0][None], axis=-1)
+    np.testing.assert_allclose(np.sort(d_all, axis=1)[:, :3], np.sort(np.asarray(dist[0]), axis=1), atol=1e-5)
+    feats = rng.normal(size=(1, 4, 8)).astype(np.float32)
+    w = np.ones((1, 20, 3), dtype=np.float32) / 3
+    out = three_interpolate(jnp.asarray(feats), idx, jnp.asarray(w))
+    assert out.shape == (1, 4, 20)
+
+
+def _scene(rng, n=3000):
+    pts = np.c_[rng.uniform(-5, 5, (n, 2)), rng.uniform(0, 2, (n, 1))].astype(np.float32)
+    return pts
+
+
+def test_dip_extractor_shapes(rng):
+    from vfmreg_tpu.descriptors.dip import extract_dip_features
+
+    pts = _scene(rng)
+    down, feats = extract_dip_features(pts, 0.3, batch_size=256)
+    assert feats.shape == (down.shape[0], 32)
+    np.testing.assert_allclose(np.linalg.norm(feats, axis=1), 1.0, atol=1e-4)
+
+
+def test_dip_rotation_invariance(rng):
+    """LRF canonicalization makes descriptors (mostly) rotation invariant even
+    with random network weights."""
+    from vfmreg_tpu.descriptors.dip import extract_dip_features
+
+    pts = _scene(rng, n=1500)
+    Rm = R.from_euler("z", 35, degrees=True).as_matrix().astype(np.float32)
+    p0, f0 = extract_dip_features(pts, 0.3)
+    p1, f1 = extract_dip_features(pts @ Rm.T, 0.3)
+    from scipy.spatial import cKDTree
+
+    idx = cKDTree(p1 @ np.linalg.inv(Rm.astype(np.float64)).T).query(p0, k=1)[1]
+    cos = np.sum(f0 * f1[idx], axis=1)
+    assert np.median(cos) > 0.8
+
+
+def test_gedi_extractor_shapes(rng):
+    from vfmreg_tpu.descriptors.gedi import extract_gedi_features
+
+    pts = _scene(rng, n=1500)
+    down, feats = extract_gedi_features(pts, 0.3, batch_size=256)
+    assert feats.shape == (down.shape[0], 32)
+    np.testing.assert_allclose(np.linalg.norm(feats, axis=1), 1.0, atol=1e-4)

@@ -1,0 +1,97 @@
+"""pointnet2_ops in JAX — batched, fixed-shape replacements for the CUDA kernels
+vendored at `gedi/backbones/pointnet2_ops_lib/_ext-src/` (reference #24):
+furthest-point sampling, gather, ball query, grouping, 3-NN interpolation.
+
+All ops are jit/vmap-friendly; `ball_query` reproduces the CUDA semantics of
+taking the first `nsample` in-ball points in index order and padding short balls
+with the first found index.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+@partial(jax.jit, static_argnames=("npoint",))
+def furthest_point_sampling(xyz: jnp.ndarray, npoint: int, mask=None) -> jnp.ndarray:
+    """[B, N, 3] -> [B, npoint] indices. Starts from index 0 (CUDA parity)."""
+    b, n, _ = xyz.shape
+    if mask is None:
+        mask = jnp.ones((b, n), dtype=bool)
+    inf = jnp.float32(1e10)
+
+    def per_batch(pts, m):
+        def body(i, state):
+            idx, min_d2 = state
+            last = pts[idx[i - 1]]
+            d2 = jnp.sum((pts - last) ** 2, axis=-1)
+            min_d2 = jnp.minimum(min_d2, d2)
+            min_d2 = jnp.where(m, min_d2, -inf)
+            idx = idx.at[i].set(jnp.argmax(min_d2))
+            return idx, min_d2
+
+        idx0 = jnp.zeros((npoint,), dtype=jnp.int32)
+        min_d2 = jnp.full((n,), inf)
+        idx, _ = jax.lax.fori_loop(1, npoint, body, (idx0, min_d2))
+        return idx
+
+    return jax.vmap(per_batch)(xyz, mask)
+
+
+def gather_operation(features: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """[B, C, N], [B, S] -> [B, C, S]."""
+    return jax.vmap(lambda f, i: f[:, i])(features, idx)
+
+
+@partial(jax.jit, static_argnames=("nsample",))
+def ball_query(
+    radius, nsample: int, xyz: jnp.ndarray, new_xyz: jnp.ndarray, mask=None
+) -> jnp.ndarray:
+    """[B, N, 3], [B, S, 3] -> [B, S, nsample] indices of the first nsample
+    points within `radius` of each center (index order), padded with the first."""
+    b, n, _ = xyz.shape
+    if mask is None:
+        mask = jnp.ones((b, n), dtype=bool)
+    r2 = jnp.square(jnp.asarray(radius, jnp.float32))
+
+    def per_batch(pts, centers, m):
+        d2 = jnp.sum((centers[:, None, :] - pts[None, :, :]) ** 2, axis=-1)  # [S, N]
+        in_ball = (d2 < r2) & m[None, :]
+        order_key = jnp.where(in_ball, jnp.arange(n)[None, :], n)
+        idx_sorted = jnp.argsort(order_key, axis=-1)[:, :nsample]  # [S, nsample]
+        count = jnp.sum(in_ball, axis=-1, keepdims=True)  # [S, 1]
+        rank = jnp.arange(nsample)[None, :]
+        first = idx_sorted[:, 0:1]
+        return jnp.where(rank < jnp.maximum(count, 1), idx_sorted, first)
+
+    return jax.vmap(per_batch)(xyz, new_xyz, mask)
+
+
+def grouping_operation(features: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """[B, C, N], [B, S, k] -> [B, C, S, k]."""
+    return jax.vmap(lambda f, i: f[:, i].transpose(0, 1, 2))(features, idx)
+
+
+def three_nn(unknown: jnp.ndarray, known: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """[B, U, 3], [B, K, 3] -> (dist [B, U, 3], idx [B, U, 3]) of 3 nearest."""
+
+    def per_batch(u, k):
+        d2 = jnp.sum((u[:, None, :] - k[None, :, :]) ** 2, axis=-1)
+        neg, idx = jax.lax.top_k(-d2, 3)
+        return jnp.sqrt(jnp.maximum(-neg, 0.0)), idx
+
+    return jax.vmap(per_batch)(unknown, known)
+
+
+def three_interpolate(features: jnp.ndarray, idx: jnp.ndarray, weight: jnp.ndarray) -> jnp.ndarray:
+    """[B, C, K], [B, U, 3], [B, U, 3] -> [B, C, U] inverse-distance interpolation."""
+
+    def per_batch(f, i, w):
+        gathered = f[:, i]  # [C, U, 3]
+        return jnp.sum(gathered * w[None, :, :], axis=-1)
+
+    return jax.vmap(per_batch)(features, idx, weight)
