@@ -1,0 +1,122 @@
+"""Gather-based sparse 3D convolution — the MinkowskiEngine replacement.
+
+MinkowskiEngine (FCGF `fcgf/fcgf.py`, GCL `gcl/model/resunet.py`) implements
+sparse convolution with hash-map kernel maps + CUDA scatter. The TPU-native
+formulation: for each kernel offset k, look up the in-coordinate `c_out + o_k`
+in a sorted-hash index, gather its features (zeros when absent), and accumulate
+`feats_k @ W_k` — K gathers + K dense [N, C_in] x [C_in, C_out] matmuls, all
+MXU-shaped, run as a `lax.scan` over offsets.
+
+Coordinate convention matches ME: a tensor at stride s has integer coordinates
+that are multiples of s; stride-2 convolutions emit coords floor-divided to the
+next stride; transposed convolutions emit onto a cached coordinate set (the
+U-Net skip level), connecting out y to in x when x = y - o_k.
+
+Kernel offset ORDER (weight-conversion contract): offsets enumerate the cube
+[-r, r]^3 in row-major order with the LAST axis fastest, i.e.
+index = (ox+r)*e^2 + (oy+r)*e + (oz+r), e = kernel edge — ME's generator order
+for HYPER_CUBE regions. If a converted checkpoint underperforms, flip with
+`kernel_order="first_fastest"`.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _coord_hash(coords: jnp.ndarray) -> jnp.ndarray:
+    c = coords.astype(jnp.uint32)
+    h = c[..., 0] * jnp.uint32(0x9E3779B1)
+    h = (h + c[..., 1]) * jnp.uint32(0x85EBCA77)
+    h = (h + c[..., 2]) * jnp.uint32(0xC2B2AE3D)
+    h = h ^ (h >> 16)
+    h = h * jnp.uint32(0x85EBCA6B)
+    h = h ^ (h >> 13)
+    h = h * jnp.uint32(0xC2B2AE35)
+    h = h ^ (h >> 16)
+    return h
+
+
+_INVALID = jnp.uint32(0xFFFFFFFF)
+
+
+class CoordLookup(NamedTuple):
+    sorted_hash: jnp.ndarray  # [N] uint32 ascending (INVALID padding at tail)
+    row_of_sorted: jnp.ndarray  # [N] original row per sorted slot
+
+
+def build_coord_lookup(coords: jnp.ndarray, mask: jnp.ndarray) -> CoordLookup:
+    h = jnp.where(mask, _coord_hash(coords), _INVALID)
+    order = jnp.argsort(h, stable=True)
+    return CoordLookup(sorted_hash=h[order], row_of_sorted=order.astype(jnp.int32))
+
+
+def lookup_rows(lookup: CoordLookup, coords: jnp.ndarray, valid: jnp.ndarray):
+    """coords [M, 3] -> (row [M], found [M]) in the indexed coordinate set."""
+    h = jnp.where(valid, _coord_hash(coords), _INVALID)
+    idx = jnp.searchsorted(lookup.sorted_hash, h)
+    idx = jnp.minimum(idx, lookup.sorted_hash.shape[0] - 1)
+    found = (lookup.sorted_hash[idx] == h) & (h != _INVALID)
+    return lookup.row_of_sorted[idx], found
+
+
+def kernel_offsets(kernel_size: int, stride_units: int, order: str = "last_fastest") -> np.ndarray:
+    """[K, 3] integer offsets of a cubic kernel in lattice units."""
+    r = (kernel_size - 1) // 2
+    rng = range(-r, r + 1)
+    if order == "last_fastest":
+        offs = [(i, j, k) for i in rng for j in rng for k in rng]
+    else:
+        offs = [(k, j, i) for i in rng for j in rng for k in rng]
+    return np.asarray(offs, dtype=np.int32) * stride_units
+
+
+@partial(jax.jit, static_argnames=())
+def sparse_conv_apply(
+    in_feats: jnp.ndarray,  # [N_in, C_in]
+    in_coords: jnp.ndarray,  # [N_in, 3]
+    in_lookup: CoordLookup,
+    in_mask: jnp.ndarray,
+    out_coords: jnp.ndarray,  # [N_out, 3]
+    out_mask: jnp.ndarray,
+    weights: jnp.ndarray,  # [K, C_in, C_out]
+    offsets: jnp.ndarray,  # [K, 3]
+) -> jnp.ndarray:
+    """out[y] = sum_k feats[x = y + o_k] @ W_k (zeros for absent x)."""
+    n_out = out_coords.shape[0]
+    c_out = weights.shape[-1]
+
+    def step(acc, wo):
+        W, off = wo
+        nbr = out_coords + off[None, :]
+        row, found = lookup_rows(in_lookup, nbr, out_mask)
+        f = jnp.where((found & in_mask[row])[:, None], in_feats[row], 0.0)
+        return acc + jnp.dot(f, W, preferred_element_type=jnp.float32), None
+
+    acc0 = jnp.zeros((n_out, c_out), dtype=jnp.float32)
+    acc, _ = jax.lax.scan(step, acc0, (weights, offsets))
+    return jnp.where(out_mask[:, None], acc, 0.0)
+
+
+def downsample_coords(
+    coords: jnp.ndarray, mask: jnp.ndarray, stride_units: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Unique coords floored to multiples of 2*stride (ME stride-2 conv output).
+
+    Fixed shape: returns [N, 3] with survivors compacted to the front + mask.
+    """
+    new_stride = 2 * stride_units
+    floored = (coords // new_stride) * new_stride
+    h = jnp.where(mask, _coord_hash(floored), _INVALID)
+    order = jnp.argsort(h, stable=True)
+    h_s = h[order]
+    c_s = floored[order]
+    m_s = mask[order]
+    is_first = jnp.concatenate([jnp.ones((1,), bool), h_s[1:] != h_s[:-1]]) & m_s
+    comp = jnp.argsort(~is_first, stable=True)
+    return c_s[comp], is_first[comp]
