@@ -35,24 +35,31 @@ def hat_so3(w: jnp.ndarray) -> jnp.ndarray:
 
 
 def exp_so3(w: jnp.ndarray) -> jnp.ndarray:
-    """Rodrigues' formula with a Taylor-safe small-angle branch. (..., 3) -> (..., 3, 3)."""
+    """Rodrigues' formula with a Taylor-safe small-angle branch. (..., 3) -> (..., 3, 3).
+
+    AD-safe at w == 0: sqrt is never differentiated at 0 (theta2 is replaced by
+    1 inside the unselected branch before the sqrt — "double where")."""
     theta2 = jnp.sum(w * w, axis=-1)
-    theta = jnp.sqrt(jnp.maximum(theta2, 0.0))
+    small = theta2 < 1e-8
+    theta2_safe = jnp.where(small, 1.0, theta2)
+    theta = jnp.sqrt(theta2_safe)
     K = hat_so3(w)
     K2 = K @ K
     # sin(t)/t and (1-cos(t))/t^2 with series fallbacks near 0.
-    small = theta < 1e-4
-    a = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / jnp.where(small, 1.0, theta))
-    b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / jnp.where(small, 1.0, theta2))
+    a = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
+    b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2_safe)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), K.shape)
     return eye + a[..., None, None] * K + b[..., None, None] * K2
 
 
 def log_so3(R: jnp.ndarray) -> jnp.ndarray:
-    """Inverse of exp_so3. (..., 3, 3) -> (..., 3). Valid for theta < pi - eps."""
+    """Inverse of exp_so3. (..., 3, 3) -> (..., 3).
+
+    AD-safe at theta -> 0 (the arccos input is replaced inside the unselected
+    branch — the "double where" pattern — so jacfwd/jacrev give finite
+    derivatives, needed by the pose-graph GN solver)."""
     trace = jnp.trace(R, axis1=-2, axis2=-1)
     cos_theta = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
-    theta = jnp.arccos(cos_theta)
     w_vee = jnp.stack(
         [
             R[..., 2, 1] - R[..., 1, 2],
@@ -61,12 +68,23 @@ def log_so3(R: jnp.ndarray) -> jnp.ndarray:
         ],
         axis=-1,
     )
-    small = theta < 1e-4
+    # Threshold must be representable in f32 (1 - 1e-8 rounds to 1.0!).
+    small = cos_theta > 1.0 - 1e-6  # theta < ~1.4e-3
+    near_pi_cos = cos_theta < -1.0 + 1e-6
+    safe_cos = jnp.where(small | near_pi_cos, 0.0, cos_theta)
+    theta_acos = jnp.arccos(safe_cos)
+    # Small-angle theta from the vee part: |w_vee| = 2 sin(theta) ~ 2 theta.
+    # Safe norm: d/dw sqrt(sum w^2) is NaN at w == 0 without the epsilon
+    # (which must not underflow in float32 — 1e-20 stays representable).
+    theta_small = 0.5 * jnp.sqrt(jnp.sum(w_vee * w_vee, axis=-1) + 1e-20)
+    theta_pi = jnp.pi - jnp.sqrt(jnp.maximum(2.0 * (1.0 + cos_theta), 0.0))
+    theta = jnp.where(small, theta_small, jnp.where(near_pi_cos, theta_pi, theta_acos))
     # theta / (2 sin(theta)), series: 1/2 + theta^2/12 near 0
+    sin_theta = jnp.where(small | near_pi_cos, 1.0, jnp.sin(theta_acos))
     factor = jnp.where(
         small,
         0.5 + theta * theta / 12.0,
-        theta / jnp.where(small, 1.0, 2.0 * jnp.sin(theta)),
+        theta / (2.0 * sin_theta),
     )
     w = factor[..., None] * w_vee
     # Near theta == pi the vee formula degenerates; handle via the symmetric part.
@@ -84,17 +102,18 @@ def log_so3(R: jnp.ndarray) -> jnp.ndarray:
 
 
 def _left_jacobian_so3(w: jnp.ndarray) -> jnp.ndarray:
-    """SO(3) left Jacobian V used by the SE(3) exponential."""
+    """SO(3) left Jacobian V used by the SE(3) exponential. AD-safe at w == 0."""
     theta2 = jnp.sum(w * w, axis=-1)
-    theta = jnp.sqrt(jnp.maximum(theta2, 0.0))
+    small = theta2 < 1e-8
+    theta2_safe = jnp.where(small, 1.0, theta2)
+    theta = jnp.sqrt(theta2_safe)
     K = hat_so3(w)
     K2 = K @ K
-    small = theta < 1e-4
-    b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / jnp.where(small, 1.0, theta2))
+    b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2_safe)
     c = jnp.where(
         small,
         1.0 / 6.0 - theta2 / 120.0,
-        (theta - jnp.sin(theta)) / jnp.where(small, 1.0, theta2 * theta),
+        (theta - jnp.sin(theta)) / (theta2_safe * theta),
     )
     eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), K.shape)
     return eye + b[..., None, None] * K + c[..., None, None] * K2
@@ -102,16 +121,16 @@ def _left_jacobian_so3(w: jnp.ndarray) -> jnp.ndarray:
 
 def _left_jacobian_inv_so3(w: jnp.ndarray) -> jnp.ndarray:
     theta2 = jnp.sum(w * w, axis=-1)
-    theta = jnp.sqrt(jnp.maximum(theta2, 0.0))
+    small = theta2 < 1e-8
+    theta2_safe = jnp.where(small, 1.0, theta2)
+    theta = jnp.sqrt(theta2_safe)
     K = hat_so3(w)
     K2 = K @ K
-    small = theta < 1e-4
     half_theta = 0.5 * theta
     cot_term = jnp.where(
         small,
         1.0 / 12.0 + theta2 / 720.0,
-        (1.0 - half_theta * jnp.cos(half_theta) / jnp.where(small, 1.0, jnp.sin(half_theta)))
-        / jnp.where(small, 1.0, theta2),
+        (1.0 - half_theta * jnp.cos(half_theta) / jnp.sin(half_theta)) / theta2_safe,
     )
     eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), K.shape)
     return eye - 0.5 * K + cot_term[..., None, None] * K2

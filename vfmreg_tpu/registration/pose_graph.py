@@ -1,0 +1,160 @@
+"""SE(3) pose-graph optimization — the GTSAM iSAM2 replacement.
+
+Reimplements the capability of `vfm_reg/pose_graph_optimization.py:10-167`
+(reference #37: prior / odometry / loop-closure factors, optimize-on-loop) as a
+batched Gauss-Newton solver in JAX instead of wrapping GTSAM:
+
+  * state: [N, 4, 4] poses; residuals per factor e_ij = log( Z_ij^-1 T_i^-1 T_j )
+    weighted by per-factor 6-vector information (GLIM-style noise defaults, same
+    spirit as the reference's `odometry_noise` / `loop_noise`);
+  * the normal equations are assembled densely over the 6N state (scan over
+    factors with scatter-adds — pose graphs here are a few hundred nodes) and
+    solved with a damped Cholesky step;
+  * `optimize()` runs a fixed GN iteration budget (batched, jit-compiled).
+
+The incremental-iSAM2 aspect is replaced by re-running the (fast, fully
+batched) solver on loop closures — same output, simpler state.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import List, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vfmreg_tpu.geometry.se3 import exp_se3, inverse_se3, log_se3
+
+# Reference noise defaults (GLIM paper parameters, `pose_graph_optimization.py`):
+# odometry ~ (0.01 m, ~0.3 deg), loop closures looser, prior very tight.
+PRIOR_SIGMAS = np.full(6, 1e-6)
+ODOM_SIGMAS = np.array([0.01, 0.01, 0.01, 0.005, 0.005, 0.005])
+LOOP_SIGMAS = np.array([0.1, 0.1, 0.1, 0.05, 0.05, 0.05])
+
+
+class Factor(NamedTuple):
+    i: int
+    j: int  # j == -1 for priors
+    measurement: np.ndarray  # [4, 4]
+    sigmas: np.ndarray  # [6]
+
+
+@partial(jax.jit, static_argnames=("num_iters",))
+def _optimize(poses, fi, fj, meas, weights, num_iters: int = 20, damping: float = 1e-6):
+    n = poses.shape[0]
+
+    def residual_between(T_i, T_j, Z):
+        return log_se3(inverse_se3(Z) @ inverse_se3(T_i) @ T_j)
+
+    def gn_step(poses, _):
+        T_i = poses[fi]
+        T_j = jnp.where((fj >= 0)[:, None, None], poses[jnp.maximum(fj, 0)], jnp.eye(4))
+
+        def factor_residual(Ti, Tj, Z, is_prior):
+            r_between = residual_between(Ti, Tj, Z)
+            r_prior = log_se3(inverse_se3(Z) @ Ti)
+            return jnp.where(is_prior, r_prior, r_between)
+
+        is_prior = fj < 0
+
+        # Numerical Jacobians wrt the left-multiplied tangent of T_i and T_j —
+        # 12 columns per factor, computed with jax.jacfwd over the perturbation.
+        def perturbed_res(eps, Ti, Tj, Z, prior):
+            dTi = exp_se3(eps[:6]) @ Ti
+            dTj = exp_se3(eps[6:]) @ Tj
+            return factor_residual(dTi, dTj, Z, prior)
+
+        J = jax.vmap(
+            lambda Ti, Tj, Z, p: jax.jacfwd(perturbed_res)(jnp.zeros(12), Ti, Tj, Z, p)
+        )(T_i, T_j, meas, is_prior)  # [F, 6, 12]
+        r = jax.vmap(factor_residual)(T_i, T_j, meas, is_prior)  # [F, 6]
+
+        w = weights  # [F, 6] = 1/sigma^2
+        Ji = J[:, :, :6]
+        Jj = J[:, :, 6:]
+        # Dense assembly of H [6N, 6N], b [6N] via scatter-add.
+        H = jnp.zeros((6 * n, 6 * n))
+        b = jnp.zeros((6 * n,))
+
+        Hii = jnp.einsum("fri,fr,frj->fij", Ji, w, Ji)
+        Hjj = jnp.einsum("fri,fr,frj->fij", Jj, w, Jj)
+        Hij = jnp.einsum("fri,fr,frj->fij", Ji, w, Jj)
+        bi = jnp.einsum("fri,fr,fr->fi", Ji, w, r)
+        bj = jnp.einsum("fri,fr,fr->fi", Jj, w, r)
+
+        def scatter_block(H, b, f):
+            ii = 6 * fi[f]
+            jj = 6 * jnp.maximum(fj[f], 0)
+            valid_j = fj[f] >= 0
+            H = jax.lax.dynamic_update_slice(
+                H, jax.lax.dynamic_slice(H, (ii, ii), (6, 6)) + Hii[f], (ii, ii)
+            )
+            Hjj_f = jnp.where(valid_j, Hjj[f], jnp.zeros((6, 6)))
+            H = jax.lax.dynamic_update_slice(
+                H, jax.lax.dynamic_slice(H, (jj, jj), (6, 6)) + Hjj_f, (jj, jj)
+            )
+            Hij_f = jnp.where(valid_j, Hij[f], jnp.zeros((6, 6)))
+            H = jax.lax.dynamic_update_slice(
+                H, jax.lax.dynamic_slice(H, (ii, jj), (6, 6)) + Hij_f, (ii, jj)
+            )
+            H = jax.lax.dynamic_update_slice(
+                H, jax.lax.dynamic_slice(H, (jj, ii), (6, 6)) + Hij_f.T, (jj, ii)
+            )
+            b = jax.lax.dynamic_update_slice(
+                b, jax.lax.dynamic_slice(b, (ii,), (6,)) + bi[f], (ii,)
+            )
+            bj_f = jnp.where(valid_j, bj[f], jnp.zeros(6))
+            b = jax.lax.dynamic_update_slice(
+                b, jax.lax.dynamic_slice(b, (jj,), (6,)) + bj_f, (jj,)
+            )
+            return H, b
+
+        H, b = jax.lax.fori_loop(
+            0, fi.shape[0], lambda f, Hb: scatter_block(Hb[0], Hb[1], f), (H, b)
+        )
+
+        dx = jnp.linalg.solve(H + damping * jnp.eye(6 * n), -b).reshape(n, 6)
+        new_poses = jax.vmap(lambda d, T: exp_se3(d) @ T)(dx, poses)
+        return new_poses, jnp.linalg.norm(dx)
+
+    poses, _ = jax.lax.scan(gn_step, poses, None, length=num_iters)
+    return poses
+
+
+class PoseGraphOptimizer:
+    """API analogue of `PoseGraphOptimizationGtsam`: add_prior / add_odometry /
+    add_loop_closure / optimize / get_poses."""
+
+    def __init__(self):
+        self.initial: List[np.ndarray] = []
+        self.factors: List[Factor] = []
+
+    def add_pose(self, pose: np.ndarray) -> int:
+        self.initial.append(np.asarray(pose, dtype=np.float64))
+        return len(self.initial) - 1
+
+    def add_prior(self, i: int, pose: np.ndarray, sigmas=PRIOR_SIGMAS):
+        self.factors.append(Factor(i, -1, np.asarray(pose), np.asarray(sigmas)))
+
+    def add_odometry(self, i: int, j: int, relative: np.ndarray, sigmas=ODOM_SIGMAS):
+        self.factors.append(Factor(i, j, np.asarray(relative), np.asarray(sigmas)))
+
+    def add_loop_closure(self, i: int, j: int, relative: np.ndarray, sigmas=LOOP_SIGMAS):
+        self.factors.append(Factor(i, j, np.asarray(relative), np.asarray(sigmas)))
+
+    def optimize(self, num_iters: int = 20) -> List[np.ndarray]:
+        poses = jnp.asarray(np.stack(self.initial), dtype=jnp.float32)
+        fi = jnp.asarray([f.i for f in self.factors], dtype=jnp.int32)
+        fj = jnp.asarray([f.j for f in self.factors], dtype=jnp.int32)
+        meas = jnp.asarray(np.stack([f.measurement for f in self.factors]), dtype=jnp.float32)
+        weights = jnp.asarray(
+            np.stack([1.0 / np.square(f.sigmas) for f in self.factors]), dtype=jnp.float32
+        )
+        out = _optimize(poses, fi, fj, meas, weights, num_iters=num_iters)
+        self.initial = [np.asarray(p, dtype=np.float64) for p in out]
+        return self.initial
+
+    def get_poses(self) -> List[np.ndarray]:
+        return list(self.initial)
