@@ -151,39 +151,56 @@ def nearest_neighbors(
       (neighbor[N,3], dist[N], found[N]) — dist=+inf / found=False where the
       neighborhood is empty or the query is masked out.
     """
+    cand_pts, cand_ok = gather_candidates(grid, queries, query_mask)
+    return nn_from_candidates(cand_pts, cand_ok, queries, query_mask)
+
+
+def gather_candidates(
+    grid: HashGrid, queries: jnp.ndarray, query_mask: Optional[jnp.ndarray] = None
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """[N, 27*cap, 3] candidate map points around each query + validity.
+
+    27 hash lookups + one wide gather; exactly the 27-voxel / first-cap
+    candidate set of the reference's `GetClosestNeighbor` scan. The
+    materialized candidates are CACHED across GN iterations by the ICP loops
+    (see `registration.icp`): between cache refreshes the NN is computed within
+    this set only — this amortizes the (gather-rate-bound) candidate
+    construction over several cheap VPU-only iterations.
+    """
     n = queries.shape[0]
     if query_mask is None:
         query_mask = jnp.ones((n,), dtype=bool)
     cap = grid.max_points_per_voxel
 
-    base = voxel_coords(queries, grid.voxel_size)  # [N, 3]
+    base = voxel_coords(queries, grid.voxel_size)
+    h27 = voxel_hash(base[:, None, :] + _NEIGHBOR_OFFSETS[None, :, :])
+    h27 = jnp.where(query_mask[:, None], h27, INVALID_HASH)
+    start, count = _lookup_buckets(grid, h27)
+
+    slot = jnp.arange(cap, dtype=jnp.int32)
+    cidx = jnp.clip(start[..., None] + slot[None, None, :], 0, grid.points.shape[0] - 1)
+    cidx = cidx.reshape(n, 27 * cap)
+    cand_ok = (slot[None, None, :] < count[..., None]).reshape(n, 27 * cap)
+    cand = grid.points[cidx]
+    return cand, cand_ok
+
+
+def nn_from_candidates(
+    cand_pts: jnp.ndarray,  # [N, K, 3]
+    cand_ok: jnp.ndarray,  # [N, K]
+    queries: jnp.ndarray,  # [N, 3]
+    query_mask: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Closest candidate per query (pure VPU compute, no gathers)."""
+    n = queries.shape[0]
+    if query_mask is None:
+        query_mask = jnp.ones((n,), dtype=bool)
     inf = jnp.float32(jnp.inf)
-
-    def body(o, state):
-        best_d2, best_pt = state
-        offs = _NEIGHBOR_OFFSETS[o]
-        h = voxel_hash(base + offs)
-        h = jnp.where(query_mask, h, INVALID_HASH)
-        start, count = _lookup_buckets(grid, h)  # [N], [N]
-        slot = jnp.arange(cap, dtype=jnp.int32)  # [cap]
-        idx = jnp.clip(start[:, None] + slot[None, :], 0, grid.points.shape[0] - 1)
-        cand = grid.points[idx]  # [N, cap, 3]
-        cand_ok = slot[None, :] < count[:, None]
-        d2 = jnp.sum((cand - queries[:, None, :]) ** 2, axis=-1)
-        d2 = jnp.where(cand_ok, d2, inf)
-        j = jnp.argmin(d2, axis=-1)
-        d2_min = jnp.take_along_axis(d2, j[:, None], axis=-1)[:, 0]
-        pt_min = jnp.take_along_axis(cand, j[:, None, None], axis=-2)[:, 0, :]
-        better = d2_min < best_d2
-        return (
-            jnp.where(better, d2_min, best_d2),
-            jnp.where(better[:, None], pt_min, best_pt),
-        )
-
-    best_d2 = jnp.full((n,), inf, dtype=jnp.float32)
-    best_pt = jnp.zeros((n, 3), dtype=jnp.float32)
-    best_d2, best_pt = jax.lax.fori_loop(0, 27, body, (best_d2, best_pt))
-
+    d2 = jnp.sum((cand_pts - queries[:, None, :]) ** 2, axis=-1)
+    d2 = jnp.where(cand_ok, d2, inf)
+    j = jnp.argmin(d2, axis=-1)
+    best_d2 = jnp.take_along_axis(d2, j[:, None], axis=-1)[:, 0]
+    best_pt = jnp.take_along_axis(cand_pts, j[:, None, None], axis=-2)[:, 0, :]
     found = jnp.isfinite(best_d2) & query_mask
     return best_pt, jnp.sqrt(jnp.where(found, best_d2, inf)), found
 

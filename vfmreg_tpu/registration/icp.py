@@ -30,10 +30,23 @@ import jax
 import jax.numpy as jnp
 
 from vfmreg_tpu.geometry.se3 import exp_se3, hat_so3, transform_points
-from vfmreg_tpu.ops.hash_grid import HashGrid, nearest_neighbors
+from vfmreg_tpu.ops.hash_grid import (
+    HashGrid,
+    gather_candidates,
+    nearest_neighbors,
+    nn_from_candidates,
+)
 
 MAX_NUM_ITERATIONS = 1000  # Registration.cpp:92
 ESTIMATION_THRESHOLD = 1e-4  # Registration.cpp:93
+# Candidate-cache refresh cadence: the 27-voxel candidate set is re-gathered
+# every REFRESH_INTERVAL GN iterations and the NN is resolved within the cached
+# set in between. The gather is the expensive (memory-rate-bound) part of an
+# ICP iteration; typical inter-refresh motion is far below the ~voxel-sized
+# slack of the 27-neighborhood, so the accepted correspondences match the
+# per-iteration-exact search in practice (set to 1 for exact reference
+# semantics).
+REFRESH_INTERVAL = 8
 
 
 class _ICPState(NamedTuple):
@@ -89,7 +102,73 @@ def _conjugate_translation(T: jnp.ndarray, center: jnp.ndarray) -> jnp.ndarray:
     return out.at[:3, 3].set(t_new)
 
 
-@partial(jax.jit, static_argnames=("max_iterations",))
+def geometric_icp_loop(
+    grid: HashGrid,
+    source0: jnp.ndarray,
+    mask: jnp.ndarray,
+    T_icp0: jnp.ndarray,
+    center: jnp.ndarray,
+    max_dist,
+    kernel,
+    max_iterations: int,
+    estimation_threshold: float,
+    it0,
+    refresh_interval: int = REFRESH_INTERVAL,
+):
+    """Shared geometric GN loop (used by plain ICP and VFM-ICP phase 2).
+
+    Outer `while_loop` refreshes the 27-voxel candidate cache; an inner
+    fixed-length `scan` runs `refresh_interval` GN iterations against the
+    cached candidates with converged/done iterations masked to no-ops —
+    termination picks the same iterate as a per-iteration-checked loop.
+    """
+
+    def cond(state: _ICPState):
+        return (
+            (state.it < max_iterations)
+            & (state.dx_norm >= estimation_threshold)
+            & ~state.done
+        )
+
+    def body(state: _ICPState) -> _ICPState:
+        cand, cand_ok = gather_candidates(grid, state.source, mask)
+
+        def inner(carry, _):
+            source, T_icp, dx_norm, it, done = carry
+            active = (it < max_iterations) & (dx_norm >= estimation_threshold) & ~done
+            nbr, dist, found = nn_from_candidates(cand, cand_ok, source, mask)
+            accept = found & (dist < max_dist)
+            JTJ, JTr, n_corr = build_linear_system(source, nbr, accept, kernel, center)
+            dx = gn_step(JTJ, JTr, n_corr)
+            est_world = _conjugate_translation(exp_se3(dx), center)
+            new_source = transform_points(source, est_world)
+            new_T = est_world @ T_icp
+            source = jnp.where(active, new_source, source)
+            T_icp = jnp.where(active, new_T, T_icp)
+            dx_norm = jnp.where(active, jnp.linalg.norm(dx), dx_norm)
+            done = done | (active & (n_corr == 0))
+            it = it + active.astype(jnp.int32)
+            return (source, T_icp, dx_norm, it, done), None
+
+        (source, T_icp, dx_norm, it, done), _ = jax.lax.scan(
+            inner,
+            (state.source, state.T_icp, state.dx_norm, state.it, state.done),
+            None,
+            length=refresh_interval,
+        )
+        return _ICPState(source, T_icp, dx_norm, it, done)
+
+    init = _ICPState(
+        source=source0,
+        T_icp=T_icp0,
+        dx_norm=jnp.float32(jnp.inf),
+        it=jnp.asarray(it0, dtype=jnp.int32),
+        done=jnp.asarray(False),
+    )
+    return jax.lax.while_loop(cond, body, init)
+
+
+@partial(jax.jit, static_argnames=("max_iterations", "refresh_interval"))
 def register_frame_icp(
     grid: HashGrid,
     points: jnp.ndarray,
@@ -99,6 +178,7 @@ def register_frame_icp(
     kernel,
     max_iterations: int = MAX_NUM_ITERATIONS,
     estimation_threshold: float = ESTIMATION_THRESHOLD,
+    refresh_interval: int = REFRESH_INTERVAL,
 ) -> jnp.ndarray:
     """KISS-ICP `RegisterFrame` for 3D points (`Registration.cpp:145-195`).
 
@@ -119,27 +199,17 @@ def register_frame_icp(
     kernel = jnp.asarray(kernel, dtype=jnp.float32)
     max_dist = jnp.asarray(max_correspondence_distance, dtype=jnp.float32)
 
-    def cond(state: _ICPState):
-        return (state.it < max_iterations) & (state.dx_norm >= estimation_threshold) & ~state.done
-
-    def body(state: _ICPState) -> _ICPState:
-        nbr, dist, found = nearest_neighbors(grid, state.source, mask)
-        accept = found & (dist < max_dist)
-        JTJ, JTr, n_corr = build_linear_system(state.source, nbr, accept, kernel, center)
-        dx = gn_step(JTJ, JTr, n_corr)
-        est = exp_se3(dx)
-        est_world = _conjugate_translation(est, center)
-        source = transform_points(state.source, est_world)
-        T_icp = est_world @ state.T_icp
-        dx_norm = jnp.linalg.norm(dx)
-        return _ICPState(source, T_icp, dx_norm, state.it + 1, n_corr == 0)
-
-    init = _ICPState(
-        source=source0,
-        T_icp=jnp.eye(4, dtype=jnp.float32),
-        dx_norm=jnp.float32(jnp.inf),
-        it=jnp.int32(0),
-        done=jnp.asarray(False),
+    final = geometric_icp_loop(
+        grid,
+        source0,
+        mask,
+        jnp.eye(4, dtype=jnp.float32),
+        center,
+        max_dist,
+        kernel,
+        max_iterations,
+        estimation_threshold,
+        it0=0,
+        refresh_interval=refresh_interval,
     )
-    final = jax.lax.while_loop(cond, body, init)
     return final.T_icp @ initial_guess

@@ -27,14 +27,15 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
-from vfmreg_tpu.geometry.se3 import exp_se3, transform_points
-from vfmreg_tpu.ops.hash_grid import HashGrid, nearest_neighbors
+from vfmreg_tpu.geometry.se3 import exp_se3, inverse_se3, transform_points
+from vfmreg_tpu.ops.hash_grid import HashGrid
 from vfmreg_tpu.ops.matching import VFMCorrespondences, masked_mad
 from vfmreg_tpu.registration.icp import (
     ESTIMATION_THRESHOLD,
     MAX_NUM_ITERATIONS,
     _conjugate_translation,
     build_linear_system,
+    geometric_icp_loop,
     gn_step,
 )
 
@@ -136,33 +137,23 @@ def register_frame_vfm(
     s1 = jax.lax.while_loop(vfm_cond, vfm_body, init1)
 
     # ------------- Phase 2: geometric ICP (`Registration.cpp:347-372`) ---------
-    def geo_cond(s: _GeoState):
-        return (s.it < max_iterations) & (s.dx_norm >= ESTIMATION_THRESHOLD) & ~s.done
-
-    def geo_body(s: _GeoState) -> _GeoState:
-        nbr, dist, found = nearest_neighbors(grid, s.source, mask)
-        accept = found & (dist < max_dist)
-        JTJ, JTr, n_corr = build_linear_system(s.source, nbr, accept, kernel, center)
-        dx = gn_step(JTJ, JTr, n_corr)
-        est = _conjugate_translation(exp_se3(dx), center)
-        return _GeoState(
-            T_icp=est @ s.T_icp,
-            source=transform_points(s.source, est),
-            src_c=transform_points(s.src_c, est),
-            dx_norm=jnp.linalg.norm(dx),
-            it=s.it + 1,
-            done=n_corr == 0,
-        )
-
-    init2 = _GeoState(
-        T_icp=s1.T_icp,
-        source=s1.source,
-        src_c=s1.src_c,
-        dx_norm=jnp.float32(jnp.inf),
-        it=s1.it,
-        done=jnp.asarray(False),
+    s2 = geometric_icp_loop(
+        grid,
+        s1.source,
+        mask,
+        s1.T_icp,
+        center,
+        max_dist,
+        kernel,
+        max_iterations,
+        ESTIMATION_THRESHOLD,
+        it0=s1.it,
     )
-    s2 = jax.lax.while_loop(geo_cond, geo_body, init2)
+
+    # The reference transforms the returned correspondence sources along with
+    # phase 2 (`Registration.cpp:365`); apply the cumulative phase-2 motion.
+    T_phase2 = s2.T_icp @ inverse_se3(s1.T_icp)
+    src_c_final = transform_points(s1.src_c, T_phase2)
 
     pose = s2.T_icp @ initial_guess
-    return pose, s2.src_c, tgt_c, s1.corr_mask
+    return pose, src_c_final, tgt_c, s1.corr_mask
