@@ -36,21 +36,49 @@ def get_voxel_hash_map(config: KISSConfig) -> "VoxelHashMap":
 
 
 class VoxelHashMap:
-    def __init__(self, voxel_size: float, max_distance: float, max_points_per_voxel: int = 20):
+    def __init__(
+        self,
+        voxel_size: float,
+        max_distance: float,
+        max_points_per_voxel: int = 20,
+        use_native: Optional[bool] = None,
+    ):
         self.voxel_size = float(voxel_size)
         self.max_distance = float(max_distance)
         self.max_points_per_voxel = int(max_points_per_voxel)
         self._points = np.zeros((0, 3), dtype=np.float32)
         self._feats: Optional[np.ndarray] = None  # [N, D] when descriptor clouds added
         self._grid: Optional[HashGrid] = None  # device cache
+        # Native C++ backend (vfmreg_tpu/native) handles the ragged incremental
+        # maintenance when built; created lazily once the descriptor dim is known.
+        if use_native is None:
+            from vfmreg_tpu.native import native_available
+
+            use_native = native_available()
+        self._use_native = bool(use_native)
+        self._native = None
+
+    def _native_map(self, dim: int):
+        if self._native is None:
+            from vfmreg_tpu.native import NativeVoxelHashMap
+
+            self._native = NativeVoxelHashMap(
+                self.voxel_size, self.max_distance, self.max_points_per_voxel, dim
+            )
+        return self._native
 
     # ------------------------------------------------------------- mutation API
     def clear(self):
         self._points = np.zeros((0, 3), dtype=np.float32)
         self._feats = None
         self._grid = None
+        if self._native is not None:
+            self._native.clear()
+            self._native = None
 
     def empty(self) -> bool:
+        if self._use_native and self._native is not None:
+            return len(self._native) == 0
         return self._points.shape[0] == 0
 
     # Reference exposes per-variant empties (`mapping.py:50-57`); here one store.
@@ -70,11 +98,20 @@ class VoxelHashMap:
     def add_points(self, points: np.ndarray):
         """`VoxelHashMap::AddPoints` (`VoxelHashMap.cpp:733-770`).
 
-        The per-voxel cap is enforced at grid-build time over the concatenated
-        insertion-ordered array — identical kept-set to incremental insertion.
+        Native backend enforces the cap at insert time; the numpy fallback
+        enforces it at grid-build time over the insertion-ordered array —
+        identical kept-set either way.
         """
         xyz, feats = self._split(points)
         if xyz.shape[0] == 0:
+            return
+        if self._use_native:
+            dim = 0 if feats is None else feats.shape[1]
+            nm = self._native_map(dim)
+            if (dim > 0) != (nm.dim > 0):
+                raise ValueError("Cannot mix descriptor and plain clouds in one map")
+            nm.add_points(xyz, feats)
+            self._sync_from_native()
             return
         if self._points.shape[0] == 0:
             self._points, self._feats = xyz, feats
@@ -86,10 +123,22 @@ class VoxelHashMap:
                 self._feats = np.concatenate([self._feats, feats])
         self._grid = None
 
+    def _sync_from_native(self):
+        pts, feats = self._native.export()
+        self._points = pts
+        self._feats = feats
+        self._grid = None
+
     def update(self, points: np.ndarray, pose: np.ndarray = np.eye(4)):
         """Transform by pose, add, evict far voxels (`VoxelHashMap.cpp:678-731`)."""
         xyz, feats = self._split(points)
         pose = np.asarray(pose, dtype=np.float64)
+        if self._use_native:
+            dim = 0 if feats is None else feats.shape[1]
+            nm = self._native_map(dim)
+            nm.update(xyz, pose, feats)
+            self._sync_from_native()
+            return
         xyz = (xyz @ pose[:3, :3].T + pose[:3, 3]).astype(np.float32)
         self.add_points(xyz if feats is None else np.c_[xyz, feats])
         self.remove_far_away_points(pose[:3, 3])
@@ -99,11 +148,15 @@ class VoxelHashMap:
         (`RemovePointsFarFromLocation`, `VoxelHashMap.cpp:772-796`)."""
         if self.empty():
             return
-        origin = np.asarray(origin, dtype=np.float32).reshape(3)
+        origin = np.asarray(origin, dtype=np.float64).reshape(3)
+        if self._use_native and self._native is not None:
+            self._native.remove_far_away_points(origin)
+            self._sync_from_native()
+            return
         keys = _voxel_keys(self._points, self.voxel_size)
         uniq, first_idx, inverse = np.unique(keys, return_index=True, return_inverse=True)
         first_pts = self._points[first_idx]
-        far = np.sum((first_pts - origin) ** 2, axis=1) > self.max_distance**2
+        far = np.sum((first_pts - origin.astype(np.float32)) ** 2, axis=1) > self.max_distance**2
         keep = ~far[inverse]
         self._points = self._points[keep]
         if self._feats is not None:
