@@ -26,9 +26,13 @@ BASELINE_REG_PER_SEC_PER_CHIP = 50.0 / 8.0
 
 def _enable_compilation_cache():
     """Persistent compile cache: the axon remote-compile path takes minutes for
-    the ICP while-loop programs; the cache brings warm runs to sub-second."""
+    the ICP while-loop programs; the cache brings warm runs to sub-second.
+    TPU-only — sharing with CPU runs risks machine-feature-mismatched AOT
+    reloads (SIGILL warnings)."""
     import jax
 
+    if jax.default_backend() != "tpu":
+        return
     jax.config.update(
         "jax_compilation_cache_dir",
         os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
