@@ -104,14 +104,21 @@ class ImageFeatureGenerator:
             self.config = config or PRESETS["dinov2_vits14"]
             self.patch_size = 14
             self.feature_size = self.config.hidden_size
+            if params is None:
+                # Random weights — callers load real checkpoints via
+                # `models.vit.load_torch_state_dict` (no network here).
+                params = init_vit_params(jax.random.PRNGKey(seed), self.config)
+        elif foundation_model == "maskclip":
+            from vfmreg_tpu.models.maskclip import MaskCLIPConfig, init_maskclip_params
+
+            self.config = config or MaskCLIPConfig()
+            self.patch_size = 16  # `image_features.py:49-50`
+            self.feature_size = self.config.embed_dim
+            if params is None:
+                params = init_maskclip_params(jax.random.PRNGKey(seed), self.config)
         else:
             raise ValueError(f"Unsupported foundation model: {foundation_model}")
         self.patch_h = 16  # same as FeatUp (`image_features.py:36`)
-
-        if params is None:
-            # Random weights — callers load real checkpoints via
-            # `models.vit.load_torch_state_dict` (no network in this environment).
-            params = init_vit_params(jax.random.PRNGKey(seed), self.config)
         self.params = params
 
         self.fit_pca: Dict[int, TorchPCA] = {}
@@ -122,6 +129,10 @@ class ImageFeatureGenerator:
 
     # ------------------------------------------------------------------ forward
     def _forward(self, batch: np.ndarray) -> jnp.ndarray:
+        if self.foundation_model_name == "maskclip":
+            from vfmreg_tpu.models.maskclip import maskclip_forward
+
+            return maskclip_forward(self.params, jnp.asarray(batch), self.config)["patches"]
         out = vit_forward(self.params, jnp.asarray(batch), self.config)
         return out["patches"]  # [B, h, w, D]
 
