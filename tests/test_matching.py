@@ -132,3 +132,20 @@ def test_mutual_nn_topk(rng):
     # Kept rows are exactly the 10 smallest distances
     d = np.asarray(out.dist)
     assert set(np.flatnonzero(kept)) == set(np.argsort(d)[:10])
+
+
+def test_pallas_cosine_argmax_matches_scan(rng):
+    """The Pallas fused kernel (interpret mode on CPU) matches the streaming path."""
+    import jax.numpy as jnp
+
+    from vfmreg_tpu.ops.cosine_kernel import cosine_argmax
+    from vfmreg_tpu.ops.matching import _chunked_argmax_ip, l2_normalize
+
+    q = l2_normalize(jnp.asarray(rng.normal(size=(100, 32)).astype(np.float32)))
+    db = l2_normalize(jnp.asarray(rng.normal(size=(500, 32)).astype(np.float32)))
+    mask = np.ones(500, dtype=bool)
+    mask[450:] = False
+    ref_sim, ref_idx = _chunked_argmax_ip(q, db, jnp.asarray(mask), 128)
+    sim, idx = cosine_argmax(q, db, jnp.asarray(mask), block_q=64, block_m=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(sim), np.asarray(ref_sim), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref_idx))

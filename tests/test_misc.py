@@ -104,3 +104,56 @@ def test_download_models_registry():
     assert set(CHECKPOINTS) >= {"fcgf", "dip", "gedi", "gcl", "spinnet", "pointdsc", "dinov2"}
     for name, (filename, url, env) in CHECKPOINTS.items():
         assert env.startswith("VFMREG_")
+
+
+def test_jbu_upsample_edge_aware(rng):
+    """JBU preserves a guidance edge that plain bilinear blurs."""
+    import jax.numpy as jnp
+
+    from vfmreg_tpu.models.featup import jbu_upsample
+
+    # Low-res features: left half 0, right half 1; guidance has a sharp edge.
+    feats = np.zeros((8, 8, 4), dtype=np.float32)
+    feats[:, 4:] = 1.0
+    guide = np.zeros((64, 64, 3), dtype=np.float32)
+    guide[:, 32:] = 1.0
+    up = np.asarray(jbu_upsample(jnp.asarray(feats), jnp.asarray(guide), 64, 64))
+    assert up.shape == (64, 64, 4)
+    # Pixels adjacent to the edge stay close to their side's value.
+    assert up[32, 30, 0] < 0.15
+    assert up[32, 34, 0] > 0.85
+
+
+def test_featup_path_in_generator(rng):
+    from tests_vit_config import SMALL_VIT
+
+    from vfmreg_tpu.models.image_features import ImageFeatureGenerator
+
+    gen = ImageFeatureGenerator("dinov2", use_featup=True, config=SMALL_VIT, seed=0)
+    img = (rng.uniform(0, 255, (56, 70, 3))).astype(np.uint8)
+    feats = gen.get_image_features(img, upsample=True)
+    assert feats.shape == (56, 70, SMALL_VIT.hidden_size)
+    assert np.all(np.isfinite(feats))
+
+
+def test_model_registry():
+    from vfmreg_tpu.models.sparse_resunet import load_model
+
+    cfg = load_model("ResUNetFatBN")
+    assert cfg.tr_channels == (128, 128, 128, 256)
+    with pytest.raises(ValueError):
+        load_model("NotAModel")
+
+
+def test_cluster_insertion(tmp_path, rng):
+    from vfmreg_tpu.pipeline.registration_node import RegistrationNode
+
+    cluster = np.c_[rng.uniform(-1, 1, (200, 3)), rng.normal(size=(200, 8))].astype(np.float32)
+    np.save(tmp_path / "000.npy", cluster)
+    node = RegistrationNode.__new__(RegistrationNode)
+    node.cluster_insertion_dir = tmp_path
+    node.cluster_removal_prob = 0.05  # -> 5 insertions
+    local_map = np.c_[rng.uniform(-20, 20, (1000, 3)), rng.normal(size=(1000, 8))].astype(np.float32)
+    out = node._apply_cluster_insertion(local_map, np.eye(4), np.random.RandomState(0))
+    assert out.shape[0] == 1000 + 5 * 200
+    assert out.shape[1] == 11

@@ -57,3 +57,23 @@ def test_params_are_model_sharded(mesh):
     shard_shapes = {s.data.shape for s in w.addressable_shards}
     # Output dim 64 split over 4 model shards -> 16 per shard
     assert (64, 16) in shard_shapes
+
+
+def test_checkpoint_roundtrip(mesh, tmp_path, rng):
+    from vfmreg_tpu.train.trainer import latest_checkpoint, restore_checkpoint, save_checkpoint
+
+    cfg = TrainConfig(adapter_hidden=64, adapter_out=32)
+    with mesh:
+        state, _, tx = create_train_state(jax.random.PRNGKey(0), TINY, mesh, cfg)
+        step = make_train_step(TINY, mesh, cfg, tx)
+        ia, ib, idx = _batch(rng)
+        state, _ = step(state, ia, ib, idx)
+        path = save_checkpoint(tmp_path, state)
+        assert latest_checkpoint(tmp_path) == path
+
+        fresh, _, _ = create_train_state(jax.random.PRNGKey(1), TINY, mesh, cfg)
+        restored = restore_checkpoint(path, fresh)
+    assert int(restored.step) == 1
+    a = np.asarray(state.params["adapter"]["fc1"]["w"])
+    b = np.asarray(restored.params["adapter"]["fc1"]["w"])
+    np.testing.assert_allclose(a, b)

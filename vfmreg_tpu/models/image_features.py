@@ -153,9 +153,17 @@ class ImageFeatureGenerator:
         batch, (img_h, img_w) = preprocess_image(image, self.patch_size, self.patch_h)
         feats = self._forward(batch)  # [1, h, w, D]
         if upsample:
-            feats = jax.image.resize(
-                feats, (1, img_h, img_w, feats.shape[-1]), method="bilinear", antialias=False
-            )
+            if self.use_featup:
+                # FeatUp path: image-guided joint bilateral upsampling
+                # (`models/featup.py`; the reference's learned JBU stack).
+                from vfmreg_tpu.models.featup import jbu_upsample
+
+                guide = jnp.asarray(image, dtype=jnp.float32) / 255.0
+                feats = jbu_upsample(feats[0], guide, img_h, img_w)[None]
+            else:
+                feats = jax.image.resize(
+                    feats, (1, img_h, img_w, feats.shape[-1]), method="bilinear", antialias=False
+                )
         out = np.asarray(feats[0], dtype=np.float32)
 
         if cache_file:

@@ -54,6 +54,24 @@ GCL_CONFIG = ResUNetConfig(
     normalize_feature=True,
 )
 
+# Registry covering the reference model-zoo names (`fcgf/fcgf.py` ResUNet family,
+# `gcl/model/__init__.py:27` load_model-by-class-name).
+MODEL_REGISTRY = {
+    "ResUNetBN2C": FCGF_CONFIG,
+    "ResUNetBN2": ResUNetConfig(tr_channels=(32, 64, 64, 128)),
+    "ResUNetBN2B": ResUNetConfig(channels=(32, 64, 128, 256), tr_channels=(64, 64, 64, 64)),
+    "ResUNetBN2D": ResUNetConfig(tr_channels=(64, 64, 128, 128)),
+    "ResUNetBN2E": ResUNetConfig(tr_channels=(128, 128, 128, 128)),
+    "ResUNetFatBN": GCL_CONFIG,
+}
+
+
+def load_model(name: str) -> ResUNetConfig:
+    """GCL-style registry lookup (`gcl/model/__init__.py:27`)."""
+    if name not in MODEL_REGISTRY:
+        raise ValueError(f"Unknown model '{name}'; available: {sorted(MODEL_REGISTRY)}")
+    return MODEL_REGISTRY[name]
+
 
 def _conv_init(key, k, c_in, c_out):
     n = k**3

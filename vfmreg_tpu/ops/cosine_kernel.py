@@ -1,0 +1,86 @@
+"""Pallas kernel: tiled cosine-similarity matmul with fused on-chip arg-max.
+
+The faiss `IndexFlatIP` replacement (`VoxelHashMap.cpp:461-626`) at production
+map sizes: for queries [N, D] and database [M, D] (M up to ~1e6), computes
+argmax_j <q_i, d_j> without ever materializing the [N, M] similarity matrix —
+each (query-block, db-block) MXU tile folds into running (max, argmax)
+accumulators that live in the revisited output block (grid iterates db-blocks
+innermost, so the output tile stays resident across the sweep).
+
+Falls back to the `lax.scan` streaming path off-TPU (`ops.matching`).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG_INF = -1e30
+
+
+def _kernel(q_ref, db_ref, dbmask_ref, best_sim_ref, best_idx_ref, *, block_m: int):
+    j = pl.program_id(1)
+
+    q = q_ref[...]  # [bq, D]
+    db = db_ref[...]  # [bm, D]
+    sim = jax.lax.dot_general(
+        q, db, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [bq, bm]
+    sim = jnp.where(dbmask_ref[...] > 0, sim, _NEG_INF)  # [1, bm] broadcast
+
+    local_max = jnp.max(sim, axis=1, keepdims=True)  # [bq, 1]
+    local_arg = jnp.argmax(sim, axis=1)[:, None].astype(jnp.int32) + j * block_m
+
+    @pl.when(j == 0)
+    def _():
+        best_sim_ref[...] = jnp.full_like(best_sim_ref, _NEG_INF)
+        best_idx_ref[...] = jnp.zeros_like(best_idx_ref)
+
+    better = local_max > best_sim_ref[...]
+    best_sim_ref[...] = jnp.where(better, local_max, best_sim_ref[...])
+    best_idx_ref[...] = jnp.where(better, local_arg, best_idx_ref[...])
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "block_m", "interpret"))
+def cosine_argmax(
+    queries: jnp.ndarray,  # [N, D] (pre-normalized)
+    database: jnp.ndarray,  # [M, D] (pre-normalized)
+    db_mask: jnp.ndarray,  # [M] bool
+    block_q: int = 256,
+    block_m: int = 1024,
+    interpret: bool = False,
+):
+    """(best_sim [N], best_idx [N]) of the masked inner-product arg-max."""
+    n, d = queries.shape
+    m = database.shape[0]
+    pad_q = (-n) % block_q
+    pad_m = (-m) % block_m
+    q = jnp.pad(queries.astype(jnp.float32), ((0, pad_q), (0, 0)))
+    db = jnp.pad(database.astype(jnp.float32), ((0, pad_m), (0, 0)))
+    dbm = jnp.pad(db_mask.astype(jnp.float32), (0, pad_m))[None, :]  # [1, M_pad]
+
+    grid = (q.shape[0] // block_q, db.shape[0] // block_m)
+    best_sim, best_idx = pl.pallas_call(
+        functools.partial(_kernel, block_m=block_m),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_q, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_m, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_m), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((block_q, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_q, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((q.shape[0], 1), jnp.float32),
+            jax.ShapeDtypeStruct((q.shape[0], 1), jnp.int32),
+        ),
+        interpret=interpret,
+    )(q, db, dbm)
+    return best_sim[:n, 0], jnp.minimum(best_idx[:n, 0], m - 1)

@@ -148,7 +148,7 @@ class VFMCorrespondences(NamedTuple):
         return jnp.sum(self.mask.astype(jnp.int32))
 
 
-@partial(jax.jit, static_argnames=("chunk",))
+@partial(jax.jit, static_argnames=("chunk", "use_pallas"))
 def get_vfm_correspondences(
     map_points: jnp.ndarray,
     map_feats: jnp.ndarray,
@@ -158,11 +158,23 @@ def get_vfm_correspondences(
     scan_mask: jnp.ndarray,
     min_cosine_similarity=0.8,
     chunk: int = 4096,
+    use_pallas: Optional[bool] = None,
 ) -> VFMCorrespondences:
-    """Cosine 1-NN in descriptor space, scan -> map (`VoxelHashMap.cpp:461-626`)."""
+    """Cosine 1-NN in descriptor space, scan -> map (`VoxelHashMap.cpp:461-626`).
+
+    On TPU the arg-max runs through the fused Pallas kernel
+    (`ops/cosine_kernel.py`); elsewhere the `lax.scan` streaming path.
+    """
     qn = l2_normalize(scan_feats.astype(jnp.float32))
     dbn = l2_normalize(map_feats.astype(jnp.float32))
-    best_sim, best_idx = _chunked_argmax_ip(qn, dbn, map_mask, chunk)
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        from vfmreg_tpu.ops.cosine_kernel import cosine_argmax
+
+        best_sim, best_idx = cosine_argmax(qn, dbn, map_mask)
+    else:
+        best_sim, best_idx = _chunked_argmax_ip(qn, dbn, map_mask, chunk)
 
     accept = scan_mask & (best_sim >= jnp.asarray(min_cosine_similarity, jnp.float32))
     target = map_points[best_idx]

@@ -80,9 +80,11 @@ class RegistrationNode:
         feature_generator=None,
         viz=None,
         rng_seed: int = 42,
+        cluster_insertion_dir: Optional[Path] = None,
     ) -> None:
         self.interactive = interactive
         self.cluster_removal_prob = cluster_removal_prob
+        self.cluster_insertion_dir = cluster_insertion_dir
         self.scan_to_scan = scan_to_scan
         assert self.scan_to_scan in [None, "data", "kitti"]
 
@@ -469,6 +471,35 @@ class RegistrationNode:
         print(f"Semantic-filtered map: {local_map.shape[0]}")
         return local_map
 
+    def _apply_cluster_insertion(
+        self, local_map: np.ndarray, gt_pose: np.ndarray, rng_cluster_removal
+    ) -> np.ndarray:
+        """Tree-insertion experiment (`registration_node.py:794-828`): sample
+        saved cluster clouds, drop each at a random map location aligned with
+        the local ground height, and append to the map."""
+        cluster_files = sorted(Path(self.cluster_insertion_dir).glob("*.npy"))
+        if not cluster_files:
+            return local_map
+        n_insert = int(self.cluster_removal_prob * 100)
+        sampled = rng_cluster_removal.choice(len(cluster_files), n_insert, replace=True)
+        new_clusters = []
+        for fi in sampled:
+            cluster = np.load(cluster_files[int(fi)])
+            cluster = cluster[:, : local_map.shape[1]]
+            cluster[:, :3] -= np.mean(cluster[:, :3], axis=0)
+            cluster_pose = np.asarray(gt_pose).copy()
+            idx = rng_cluster_removal.choice(local_map.shape[0], 1)
+            cluster_pose[:2, 3] = local_map[idx, :2]
+            dist = np.linalg.norm(local_map[:, :2] - cluster_pose[:2, 3].reshape(1, 2), axis=1)
+            near = local_map[dist < 2]
+            ground_z = np.max(near[:, 2]) if near.shape[0] else 0.0
+            cluster[:, :3] = transform_pcl(cluster[:, :3], cluster_pose)
+            cluster[:, 2] += ground_z - np.max(cluster[:, 2])
+            new_clusters.append(cluster)
+        if not new_clusters:
+            return local_map
+        return np.concatenate([local_map] + new_clusters, axis=0)
+
     def make_step(self) -> None:
         """One scene (`registration_node.py:548-989`)."""
         from scipy.spatial.transform import Rotation as Rot
@@ -515,8 +546,10 @@ class RegistrationNode:
                 )
                 local_map = voxel_down_sample(local_map, 0.1).astype(local_map.dtype)
 
-            if self.cluster_removal_prob > 0:
+            if self.cluster_removal_prob > 0 and self.cluster_insertion_dir is None:
                 local_map = self._apply_cluster_removal(local_map, rng_cluster_removal)
+            elif self.cluster_insertion_dir is not None and self.cluster_removal_prob > 0:
+                local_map = self._apply_cluster_insertion(local_map, gt_pose, rng_cluster_removal)
 
             # Initial guess (`:843-857`): scan-to-scan adds synthetic odometry noise.
             if self.scan_to_scan is not None:

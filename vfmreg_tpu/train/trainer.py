@@ -174,3 +174,33 @@ def make_train_step(vit_cfg: ViTConfig, mesh: Mesh, cfg: TrainConfig = TrainConf
         )
 
     return train_step
+
+
+# ----------------------------------------------------------- checkpoint/resume
+def save_checkpoint(ckpt_dir, state: TrainState, step: int = None) -> str:
+    """Orbax checkpoint of the full train state (resumable training — the
+    reference has no run-state checkpointing, SURVEY.md §5)."""
+    import orbax.checkpoint as ocp
+    from pathlib import Path
+
+    step = int(state.step) if step is None else int(step)
+    path = Path(ckpt_dir).absolute() / f"step_{step:08d}"
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, state)
+    ckptr.wait_until_finished()
+    return str(path)
+
+
+def restore_checkpoint(path, target: TrainState) -> TrainState:
+    import orbax.checkpoint as ocp
+    from pathlib import Path
+
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(Path(path).absolute(), target)
+
+
+def latest_checkpoint(ckpt_dir):
+    from pathlib import Path
+
+    steps = sorted(Path(ckpt_dir).glob("step_*"))
+    return str(steps[-1]) if steps else None
