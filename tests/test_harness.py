@@ -91,3 +91,56 @@ def test_error_dump_and_print(scene_h5, tmp_path):
     recalls = print_errors_main(pkl, error_txt_dir=tmp_path)
     assert (tmp_path / "error.txt").exists()
     assert recalls["vfm_ransac_icp"][(0.6, 1.5)] == 100.0
+
+
+def test_visualize_scene(scene_h5, tmp_path):
+    from vfmreg_tpu.pipeline.visualize_scenes import visualize_scene
+
+    png = tmp_path / "scene.png"
+    map_pts, scan_pts = visualize_scene(
+        scene_h5 / "scene_000.h5", save_png=png, export_ply_dir=tmp_path / "ply"
+    )
+    assert png.exists() and png.stat().st_size > 1000
+    assert (tmp_path / "ply" / "scene_000_map.ply").exists()
+    assert map_pts.shape[1] == 3 and map_pts.shape[0] > 100
+
+
+def test_refresh_interval_recall_neutral(scene_h5):
+    """Candidate-cache staleness (refresh_interval=16) does not change the
+    registration outcome vs per-iteration-exact search (=1) on the scene."""
+    import jax.numpy as jnp
+
+    from vfmreg_tpu.data.h5io import read_scenes
+    from vfmreg_tpu.kiss.voxelization import voxel_down_sample
+    from vfmreg_tpu.ops.hash_grid import build_hash_grid
+    from vfmreg_tpu.registration.icp import register_frame_icp
+    from vfmreg_tpu.utils import transform_pcl
+
+    scene = read_scenes(scene_h5 / "scene_000.h5")
+    map_pts = transform_pcl(scene["map_point_clouds"][0], scene["map_poses"][0])[:, :3]
+    scan = transform_pcl(scene["scene_point_clouds"][0], scene["scene_poses"][0])[:, :3]
+    scan = voxel_down_sample(scan, 0.5).astype(np.float32)
+    # small perturbation
+    guess = np.eye(4, dtype=np.float32)
+    guess[:3, 3] = [0.4, -0.3, 0.1]
+
+    def pad(x):
+        import jax.numpy as jnp
+        from vfmreg_tpu.ops.voxel import bucket_size
+
+        n = bucket_size(x.shape[0])
+        out = np.zeros((n, 3), dtype=np.float32)
+        out[: x.shape[0]] = x
+        m = np.zeros(n, dtype=bool)
+        m[: x.shape[0]] = True
+        return jnp.asarray(out), jnp.asarray(m)
+
+    gp, gm = pad(map_pts.astype(np.float32))
+    sp, sm = pad(scan)
+    grid = build_hash_grid(gp, 1.0, mask=gm)
+    poses = {}
+    for ri in (1, 16):
+        poses[ri] = np.asarray(
+            register_frame_icp(grid, sp, sm, jnp.asarray(guess), 3.0, 0.5, refresh_interval=ri)
+        )
+    np.testing.assert_allclose(poses[1], poses[16], atol=2e-3)

@@ -29,19 +29,49 @@ import jax.numpy as jnp
 from vfmreg_tpu.ops.voxel import INVALID_HASH, voxel_coords, voxel_hash
 
 
+# Open-addressing probe budget: table capacity is 4x the bucket budget (load
+# <= 0.25), where 4 linear probes virtually never miss; buckets that lose all
+# insert rounds are unreachable (points drop out of NN candidates — negligible
+# probability at this load).
+_PROBES = 4
+
+# Points are additionally exposed as G-row "slabs" so candidate gathers fetch
+# whole bucket runs in a few wide rows instead of per-point rows (the TPU
+# gather unit is row-rate-bound at ~6 ns/row regardless of row width).
+_SLAB = 8
+
+
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["unique_hash", "bucket_start", "bucket_count", "points", "feats", "valid", "voxel_size"],
+    data_fields=[
+        "unique_hash",
+        "bucket_start",
+        "bucket_count",
+        "table",
+        "points",
+        "points_slab",
+        "feats",
+        "valid",
+        "voxel_size",
+    ],
     meta_fields=["max_points_per_voxel"],
 )
 @dataclasses.dataclass(frozen=True)
 class HashGrid:
-    """Sorted-bucket voxel grid. All arrays are padded to static capacities."""
+    """Sorted-bucket voxel grid. All arrays are padded to static capacities.
+
+    Lookups go through a linear-probing open-addressing table (`table_*`,
+    capacity 2x the point budget) — ~`_PROBES` gather rounds per query versus
+    log2(U) for binary search on the sorted hashes; the sorted arrays remain the
+    bucket-grouping backbone and exact export order.
+    """
 
     unique_hash: jnp.ndarray  # [U] uint32, ascending; padding = INVALID_HASH
     bucket_start: jnp.ndarray  # [U] int32 index into `points`
     bucket_count: jnp.ndarray  # [U] int32, clipped to max_points_per_voxel
+    table: jnp.ndarray  # [H, 4] int32 packed (hash, start, count, 0); hash INVALID = free
     points: jnp.ndarray  # [M, 3] f32, sorted by voxel hash
+    points_slab: jnp.ndarray  # [M/_SLAB, _SLAB*3] f32 slab view of `points`
     feats: Optional[jnp.ndarray]  # [M, D] f32 or None
     valid: jnp.ndarray  # [M] bool (sorted alongside points)
     voxel_size: jnp.ndarray  # f32 scalar
@@ -106,12 +136,61 @@ def build_hash_grid(
     rank = row - bucket_start[bucket_id]
     valid = mask_s & (rank < max_points_per_voxel)
 
+    # ----- open-addressing table over the bucket set ------------------------
+    H = 1
+    while H < 4 * n:
+        H *= 2
+    table_hash = jnp.full((H + 1,), INVALID_HASH, dtype=jnp.uint32)
+    table_start = jnp.zeros((H + 1,), dtype=jnp.int32)
+    table_count = jnp.zeros((H + 1,), dtype=jnp.int32)
+
+    ins_h = jnp.where(is_start, h_s, INVALID_HASH)
+    ins_start = jnp.where(is_start, bucket_start[bucket_id], 0)
+    ins_count = jnp.where(is_start, bucket_count[bucket_id], 0)
+    base_slot = (ins_h & jnp.uint32(H - 1)).astype(jnp.int32)
+    row_id = jnp.arange(n, dtype=jnp.int32)
+
+    def insert_round(r, state):
+        th, ts, tc, pending = state
+        slot = (base_slot + r) & (H - 1)
+        free = th[slot] == INVALID_HASH
+        want = pending & free
+        # Contended slots: lowest row id wins this round.
+        claim = jnp.full((H + 1,), n, dtype=jnp.int32).at[
+            jnp.where(want, slot, H)
+        ].min(jnp.where(want, row_id, n))
+        won = want & (claim[slot] == row_id)
+        wslot = jnp.where(won, slot, H)
+        th = th.at[wslot].set(jnp.where(won, ins_h, th[wslot]))
+        ts = ts.at[wslot].set(jnp.where(won, ins_start, ts[wslot]))
+        tc = tc.at[wslot].set(jnp.where(won, ins_count, tc[wslot]))
+        return th, ts, tc, pending & ~won
+
+    pending0 = is_start & (ins_h != INVALID_HASH)
+    table_hash, table_start, table_count, _ = jax.lax.fori_loop(
+        0, _PROBES, insert_round, (table_hash, table_start, table_count, pending0)
+    )
+    # Pack (hash, start, count) into one [H, 4] row so each probe round is a
+    # single wide gather (keeping them separate exploded into hundreds of
+    # transposed gathers in the optimized HLO).
+    table = jnp.stack(
+        [
+            table_hash[:H].astype(jnp.int32),
+            table_start[:H],
+            table_count[:H],
+            jnp.zeros((H,), dtype=jnp.int32),
+        ],
+        axis=1,
+    )
+
     del start_of_bucket
     return HashGrid(
         unique_hash=unique_hash,
         bucket_start=bucket_start,
         bucket_count=bucket_count,
+        table=table,
         points=pts_s,
+        points_slab=jnp.pad(pts_s, ((0, (-n) % _SLAB), (0, 0))).reshape(-1, _SLAB * 3),
         feats=feats_s,
         valid=valid,
         voxel_size=jnp.asarray(voxel_size, dtype=jnp.float32),
@@ -126,13 +205,28 @@ _NEIGHBOR_OFFSETS = jnp.array(
 
 
 def _lookup_buckets(grid: HashGrid, h: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """hash -> (bucket_start, bucket_count); count==0 when the voxel is absent."""
-    idx = jnp.searchsorted(grid.unique_hash, h)
-    idx = jnp.minimum(idx, grid.unique_hash.shape[0] - 1)
-    found = (grid.unique_hash[idx] == h) & (h != INVALID_HASH)
-    start = grid.bucket_start[idx]
-    count = jnp.where(found, grid.bucket_count[idx], 0)
-    return start, count
+    """hash -> (bucket_start, bucket_count); count==0 when the voxel is absent.
+
+    Linear-probing table lookup: `_PROBES` unrolled rounds, ONE wide gather of
+    the packed (hash, start, count) row per round, flat index layout."""
+    H = grid.table.shape[0]
+    shape = h.shape
+    hf = h.reshape(-1)
+    base = (hf & jnp.uint32(H - 1)).astype(jnp.int32)
+    start = jnp.zeros(hf.shape, dtype=jnp.int32)
+    count = jnp.zeros(hf.shape, dtype=jnp.int32)
+    found = jnp.zeros(hf.shape, dtype=bool)
+    h_s32 = hf.astype(jnp.int32)
+
+    for r in range(_PROBES):
+        slot = (base + r) & (H - 1)
+        row = grid.table[slot]  # [Q, 4] single packed gather
+        hit = (row[:, 0] == h_s32) & ~found
+        start = jnp.where(hit, row[:, 1], start)
+        count = jnp.where(hit, row[:, 2], count)
+        found = found | hit
+    valid = found & (hf != INVALID_HASH)
+    return start.reshape(shape), jnp.where(valid, count, 0).reshape(shape)
 
 
 def nearest_neighbors(
@@ -175,14 +269,30 @@ def gather_candidates(
     base = voxel_coords(queries, grid.voxel_size)
     h27 = voxel_hash(base[:, None, :] + _NEIGHBOR_OFFSETS[None, :, :])
     h27 = jnp.where(query_mask[:, None], h27, INVALID_HASH)
-    start, count = _lookup_buckets(grid, h27)
+    start, count = _lookup_buckets(grid, h27)  # [N, 27]
 
-    slot = jnp.arange(cap, dtype=jnp.int32)
-    cidx = jnp.clip(start[..., None] + slot[None, None, :], 0, grid.points.shape[0] - 1)
-    cidx = cidx.reshape(n, 27 * cap)
-    cand_ok = (slot[None, None, :] < count[..., None]).reshape(n, 27 * cap)
-    cand = grid.points[cidx]
-    return cand, cand_ok
+    # Slab gather: a bucket's (<= cap) run of consecutive rows spans at most
+    # n_slabs G-row slabs for any alignment; fetching slabs cuts gathered rows
+    # ~5x versus per-point rows on the row-rate-bound gather unit.
+    G = _SLAB
+    n_slabs = (cap + G - 2) // G + 1
+    num_slabs_total = grid.points_slab.shape[0]
+    slab0 = start >> 3  # start // G (G == 8)
+    slab_idx = jnp.clip(
+        slab0[..., None] + jnp.arange(n_slabs, dtype=jnp.int32)[None, None, :],
+        0,
+        num_slabs_total - 1,
+    )  # [N, 27, n_slabs]
+    slabs = grid.points_slab[slab_idx]  # [N, 27, n_slabs, G*3]
+    cand = slabs.reshape(n, 27, n_slabs * G, 3)
+    row_global = (slab_idx[..., None] * G + jnp.arange(G, dtype=jnp.int32)).reshape(
+        n, 27, n_slabs * G
+    )
+    cand_ok = (row_global >= start[..., None]) & (
+        row_global < (start + count)[..., None]
+    )
+    k = 27 * n_slabs * G
+    return cand.reshape(n, k, 3), cand_ok.reshape(n, k)
 
 
 def nn_from_candidates(

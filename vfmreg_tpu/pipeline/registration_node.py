@@ -681,9 +681,18 @@ class RegistrationNode:
 
 
 def main():
-    """CLI mirror of `registration_node.py:1033-1100`."""
+    """CLI mirror of `registration_node.py:1033-1100` (incl. the SIGINT handler
+    at `:1028-1034`)."""
     import argparse
     import datetime
+    import signal
+    import sys
+
+    def signal_handler(sig, frame):
+        print("Manual termination triggered")
+        sys.exit(0)
+
+    signal.signal(signal.SIGINT, signal_handler)
 
     parser = argparse.ArgumentParser()
     parser.add_argument("folder", type=str)

@@ -46,7 +46,7 @@ ESTIMATION_THRESHOLD = 1e-4  # Registration.cpp:93
 # slack of the 27-neighborhood, so the accepted correspondences match the
 # per-iteration-exact search in practice (set to 1 for exact reference
 # semantics).
-REFRESH_INTERVAL = 8
+REFRESH_INTERVAL = 16
 
 
 class _ICPState(NamedTuple):
