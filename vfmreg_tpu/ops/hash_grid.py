@@ -30,10 +30,10 @@ from vfmreg_tpu.ops.voxel import INVALID_HASH, voxel_coords, voxel_hash
 
 
 # Open-addressing probe budget: table capacity is 4x the bucket budget (load
-# <= 0.25), where 4 linear probes virtually never miss; buckets that lose all
+# <= 0.25), where 8 linear probes virtually never miss; buckets that lose all
 # insert rounds are unreachable (points drop out of NN candidates — negligible
 # probability at this load).
-_PROBES = 4
+_PROBES = 8
 
 # Points are additionally exposed as G-row "slabs" so candidate gathers fetch
 # whole bucket runs in a few wide rows instead of per-point rows (the TPU
