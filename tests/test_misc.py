@@ -157,3 +157,77 @@ def test_cluster_insertion(tmp_path, rng):
     out = node._apply_cluster_insertion(local_map, np.eye(4), np.random.RandomState(0))
     assert out.shape[0] == 1000 + 5 * 200
     assert out.shape[1] == 11
+
+
+def test_maskclip_parity_vs_transformers(rng):
+    """Our CLIP visual tower (standard last layer) matches
+    transformers.CLIPVisionModel with the same random weights."""
+    torch = pytest.importorskip("torch")
+    import jax.numpy as jnp
+    from transformers import CLIPVisionConfig, CLIPVisionModel
+
+    from vfmreg_tpu.models.maskclip import MaskCLIPConfig, load_clip_visual_state_dict, maskclip_forward
+
+    hf_cfg = CLIPVisionConfig(
+        hidden_size=64,
+        intermediate_size=256,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        image_size=64,
+        patch_size=16,
+        projection_dim=32,
+        hidden_act="quick_gelu",
+    )
+    torch.manual_seed(0)
+    hf = CLIPVisionModel(hf_cfg).eval()
+
+    # Convert HF naming -> OpenAI-CLIP "visual." naming our converter reads.
+    sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+    conv = {}
+    vm = "vision_model."
+    conv["conv1.weight"] = sd[vm + "embeddings.patch_embedding.weight"]
+    conv["class_embedding"] = sd[vm + "embeddings.class_embedding"]
+    conv["positional_embedding"] = sd[vm + "embeddings.position_embedding.weight"]
+    conv["ln_pre.weight"] = sd[vm + "pre_layrnorm.weight"]
+    conv["ln_pre.bias"] = sd[vm + "pre_layrnorm.bias"]
+    conv["ln_post.weight"] = sd[vm + "post_layernorm.weight"]
+    conv["ln_post.bias"] = sd[vm + "post_layernorm.bias"]
+    conv["proj"] = np.eye(64, dtype=np.float32)  # HF vision model has no proj
+    for i in range(2):
+        src = f"{vm}encoder.layers.{i}."
+        dst = f"transformer.resblocks.{i}."
+        conv[dst + "ln_1.weight"] = sd[src + "layer_norm1.weight"]
+        conv[dst + "ln_1.bias"] = sd[src + "layer_norm1.bias"]
+        conv[dst + "ln_2.weight"] = sd[src + "layer_norm2.weight"]
+        conv[dst + "ln_2.bias"] = sd[src + "layer_norm2.bias"]
+        conv[dst + "attn.in_proj_weight"] = np.concatenate(
+            [sd[src + "self_attn.q_proj.weight"], sd[src + "self_attn.k_proj.weight"], sd[src + "self_attn.v_proj.weight"]]
+        )
+        conv[dst + "attn.in_proj_bias"] = np.concatenate(
+            [sd[src + "self_attn.q_proj.bias"], sd[src + "self_attn.k_proj.bias"], sd[src + "self_attn.v_proj.bias"]]
+        )
+        conv[dst + "attn.out_proj.weight"] = sd[src + "self_attn.out_proj.weight"]
+        conv[dst + "attn.out_proj.bias"] = sd[src + "self_attn.out_proj.bias"]
+        conv[dst + "mlp.c_fc.weight"] = sd[src + "mlp.fc1.weight"]
+        conv[dst + "mlp.c_fc.bias"] = sd[src + "mlp.fc1.bias"]
+        conv[dst + "mlp.c_proj.weight"] = sd[src + "mlp.fc2.weight"]
+        conv[dst + "mlp.c_proj.bias"] = sd[src + "mlp.fc2.bias"]
+
+    cfg = MaskCLIPConfig(hidden_size=64, num_layers=2, num_heads=4, patch_size=16, embed_dim=64, pretrain_img_size=64)
+    params = load_clip_visual_state_dict(conv, cfg)
+
+    img = rng.normal(size=(1, 64, 64, 3)).astype(np.float32)
+    ours = maskclip_forward(params, jnp.asarray(img), cfg, standard_last_layer=True)
+    with torch.no_grad():
+        theirs = hf(torch.from_numpy(img.transpose(0, 3, 1, 2))).last_hidden_state.numpy()
+    # HF last_hidden_state is pre-ln_post; compare after applying ln_post+proj(I):
+    import torch.nn.functional as F
+    ln = torch.nn.LayerNorm(64, eps=1e-5)
+    ln.weight.data = hf.vision_model.post_layernorm.weight
+    ln.bias.data = hf.vision_model.post_layernorm.bias
+    with torch.no_grad():
+        ref = ln(torch.from_numpy(theirs)).numpy()
+    got = np.concatenate(
+        [np.asarray(ours["cls"])[:, None, :], np.asarray(ours["patches"]).reshape(1, -1, 64)], axis=1
+    )
+    np.testing.assert_allclose(got, ref, atol=3e-4)

@@ -121,9 +121,18 @@ def _interp_pos(pos_embed, gh, gw, cfg: MaskCLIPConfig):
     return jnp.concatenate([cls_pos, patch.reshape(gh * gw, -1)], axis=0)
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def maskclip_forward(params: Dict[str, Any], images: jnp.ndarray, cfg: MaskCLIPConfig):
-    """[B, H, W, 3] -> dict(cls [B, 512], patches [B, h, w, 512])."""
+@partial(jax.jit, static_argnames=("cfg", "standard_last_layer"))
+def maskclip_forward(
+    params: Dict[str, Any],
+    images: jnp.ndarray,
+    cfg: MaskCLIPConfig,
+    standard_last_layer: bool = False,
+):
+    """[B, H, W, 3] -> dict(cls [B, 512], patches [B, h, w, 512]).
+
+    `standard_last_layer=True` disables the MaskCLIP value-only modification
+    (plain CLIP visual tower — used for parity testing against
+    transformers.CLIPVisionModel and for cls-token encoding)."""
     b, H, W, _ = images.shape
     p = cfg.patch_size
     gh, gw = H // p, W // p
@@ -146,7 +155,10 @@ def maskclip_forward(params: Dict[str, Any], images: jnp.ndarray, cfg: MaskCLIPC
         x = x + (_quick_gelu(y @ block["fc1"]["w"] + block["fc1"]["b"]) @ block["fc2"]["w"] + block["fc2"]["b"])
 
     last = params["blocks"][-1]
-    x = x + _value_only(_ln(x, last["ln1"], cfg.layernorm_eps), last, cfg)
+    if standard_last_layer:
+        x = x + _attention(_ln(x, last["ln1"], cfg.layernorm_eps), last, cfg)
+    else:
+        x = x + _value_only(_ln(x, last["ln1"], cfg.layernorm_eps), last, cfg)
     y = _ln(x, last["ln2"], cfg.layernorm_eps)
     x = x + (_quick_gelu(y @ last["fc1"]["w"] + last["fc1"]["b"]) @ last["fc2"]["w"] + last["fc2"]["b"])
 
