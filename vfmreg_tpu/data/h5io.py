@@ -11,7 +11,7 @@ Layout (`prepare_scenes.py:16-47`, `vfm_reg/read_h5.py:17-49`):
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Sequence
 
 import h5py
 import numpy as np

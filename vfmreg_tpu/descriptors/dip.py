@@ -9,7 +9,6 @@ import numpy as np
 
 from vfmreg_tpu.models.dip import (
     LRF_KERNEL,
-    PATCH_SIZE,
     compute_lrf_patches,
     dip_forward,
     init_dip_params,

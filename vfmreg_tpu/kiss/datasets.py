@@ -11,9 +11,8 @@ from __future__ import annotations
 
 import glob
 import os
-import re
 from pathlib import Path
-from typing import List, Optional
+from typing import List
 
 import numpy as np
 

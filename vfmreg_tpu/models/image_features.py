@@ -22,7 +22,6 @@ upsampler can be slotted in via `upsampler=`.
 from __future__ import annotations
 
 import pickle
-from functools import partial
 from pathlib import Path
 from typing import Any, Dict, Optional, Tuple
 

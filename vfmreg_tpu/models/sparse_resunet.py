@@ -22,14 +22,13 @@ from __future__ import annotations
 import dataclasses
 import math
 from functools import partial
-from typing import Any, Dict, List, Tuple
+from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from vfmreg_tpu.ops.sparse_conv import (
-    CoordLookup,
     build_coord_lookup,
     downsample_coords,
     kernel_offsets,

@@ -24,7 +24,6 @@ from __future__ import annotations
 
 from typing import Optional, Tuple
 
-import jax
 import jax.numpy as jnp
 
 INVALID_HASH = jnp.uint32(0xFFFFFFFF)

@@ -24,18 +24,13 @@ TPU-first differences from the reference:
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 
 from vfmreg_tpu.geometry.se3 import exp_se3, hat_so3, transform_points
-from vfmreg_tpu.ops.hash_grid import (
-    HashGrid,
-    gather_candidates,
-    nearest_neighbors,
-    nn_from_candidates,
-)
+from vfmreg_tpu.ops.hash_grid import HashGrid, gather_candidates, nn_from_candidates
 
 MAX_NUM_ITERATIONS = 1000  # Registration.cpp:92
 ESTIMATION_THRESHOLD = 1e-4  # Registration.cpp:93

@@ -19,7 +19,7 @@ batched) solver on loop closures — same output, simpler state.
 from __future__ import annotations
 
 from functools import partial
-from typing import List, NamedTuple, Optional
+from typing import List, NamedTuple
 
 import jax
 import jax.numpy as jnp
