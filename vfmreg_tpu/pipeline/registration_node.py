@@ -81,10 +81,12 @@ class RegistrationNode:
         viz=None,
         rng_seed: int = 42,
         cluster_insertion_dir: Optional[Path] = None,
+        kitti_dir: Optional[Path] = None,  # scan_to_scan='kitti' data root
     ) -> None:
         self.interactive = interactive
         self.cluster_removal_prob = cluster_removal_prob
         self.cluster_insertion_dir = cluster_insertion_dir
+        self.kitti_dir = kitti_dir
         self.scan_to_scan = scan_to_scan
         assert self.scan_to_scan in [None, "data", "kitti"]
 
@@ -525,6 +527,20 @@ class RegistrationNode:
             point_cloud = voxel_down_sample(point_cloud, 0.1).astype(point_cloud.dtype)
             print(f"Scan voxelization (0.1m): {tmp[0]} -> {point_cloud.shape[0]}")
 
+            # EXPERIMENT: scan-to-scan on KITTI (`registration_node.py:626-641`) —
+            # replace the map/scan pair by consecutive KITTI velodyne frames.
+            if self.scan_to_scan == "kitti":
+                if self.kitti_dir is None:
+                    raise ValueError("scan_to_scan='kitti' requires kitti_dir")
+                filenames = sorted(Path(self.kitti_dir).glob("*.bin"))
+                kitti_i = np.random.choice(len(filenames) - 10)
+                scene_local_map = np.fromfile(filenames[kitti_i], dtype=np.float32).reshape(-1, 4)[:, :3]
+                point_cloud = np.fromfile(filenames[kitti_i + 1], dtype=np.float32).reshape(-1, 4)[:, :3]
+                scene_local_map = voxel_down_sample(scene_local_map, 0.1).astype(np.float32)
+                point_cloud = voxel_down_sample(point_cloud, 0.1).astype(point_cloud.dtype)
+                print(f"Map {scene_local_map.shape[0]}, Scan {point_cloud.shape[0]}")
+                pose = np.eye(4)
+
             pose = np.array(pose, dtype=np.float64)
             if "robotcar" in self.filenames[self.scene_idx].as_posix():
                 fix = self._ROBOTCAR_GT_FIX.get(self.scene_idx)
@@ -569,12 +585,16 @@ class RegistrationNode:
 
             print(f'{"--- RANSAC ---":-^80}')
             for method, run_icp in self.methods_ransac:
+                if self.scan_to_scan == "kitti" and method == "vfm":
+                    continue  # KITTI bins carry no descriptors (`:879-880`)
                 key = f"{method}_ransac"
                 results[key], results[f"{key}_icp"] = self.ransac_registration(
                     local_map, point_cloud, method, run_icp
                 )
             print(f'{"--- TEASER ---":-^80}')
             for method, run_icp in self.methods_teaser:
+                if self.scan_to_scan == "kitti" and method == "vfm":
+                    continue
                 key = f"{method}_teaser"
                 results[key], results[f"{key}_icp"] = self.teaser_registration(
                     local_map, point_cloud, method, run_icp
