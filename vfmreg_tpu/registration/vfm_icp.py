@@ -53,13 +53,6 @@ class _VFMState(NamedTuple):
     done: jnp.ndarray
 
 
-class _GeoState(NamedTuple):
-    T_icp: jnp.ndarray
-    source: jnp.ndarray
-    src_c: jnp.ndarray  # kept transformed for the correspondence return (`:365`)
-    dx_norm: jnp.ndarray
-    it: jnp.ndarray
-    done: jnp.ndarray
 
 
 @partial(jax.jit, static_argnames=("max_iterations",))
