@@ -90,3 +90,22 @@ def test_gedi_extractor_shapes(rng):
     down, feats = extract_gedi_features(pts, 0.3, batch_size=256)
     assert feats.shape == (down.shape[0], 32)
     np.testing.assert_allclose(np.linalg.norm(feats, axis=1), 1.0, atol=1e-4)
+
+
+def test_ball_query_small_cloud(rng):
+    """nsample larger than the cloud: pads with the first in-ball index."""
+    pts = rng.uniform(0, 1, (1, 10, 3)).astype(np.float32)
+    centers = pts[:, :2]
+    idx = np.asarray(ball_query(2.0, 16, jnp.asarray(pts), jnp.asarray(centers)))[0]
+    assert idx.shape == (2, 16)
+    # padding slots repeat the first index
+    assert (idx[:, 10:] == idx[:, 0:1]).all()
+
+
+def test_spinnet_extractor_small_cloud(rng):
+    from vfmreg_tpu.descriptors.spinnet import extract_spinnet_features
+
+    pts = rng.uniform(-3, 3, (300, 3)).astype(np.float32)
+    kp, feats = extract_spinnet_features(pts, 8, batch_size=8)
+    assert feats.shape == (8, 32)
+    assert np.all(np.isfinite(feats))

@@ -62,7 +62,14 @@ def ball_query(
         d2 = jnp.sum((centers[:, None, :] - pts[None, :, :]) ** 2, axis=-1)  # [S, N]
         in_ball = (d2 < r2) & m[None, :]
         order_key = jnp.where(in_ball, jnp.arange(n)[None, :], n)
-        idx_sorted = jnp.argsort(order_key, axis=-1)[:, :nsample]  # [S, nsample]
+        idx_sorted = jnp.argsort(order_key, axis=-1)[:, :nsample]  # [S, min(N, nsample)]
+        if idx_sorted.shape[1] < nsample:
+            # Cloud smaller than the sample budget: pad with the first index
+            # (CUDA parity: short balls repeat their first in-ball point).
+            pad = nsample - idx_sorted.shape[1]
+            idx_sorted = jnp.concatenate(
+                [idx_sorted, jnp.repeat(idx_sorted[:, 0:1], pad, axis=1)], axis=1
+            )
         count = jnp.sum(in_ball, axis=-1, keepdims=True)  # [S, 1]
         rank = jnp.arange(nsample)[None, :]
         first = idx_sorted[:, 0:1]
