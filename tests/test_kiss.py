@@ -193,3 +193,28 @@ def test_register_frame_vfm_dispatch(rng):
     )
     assert np.linalg.norm(pose[:3, 3] - T[:3, 3]) < 0.5
     assert src.shape == tgt.shape and src.shape[0] > 0
+
+
+def test_odometry_cli_generic(tmp_path, rng):
+    """The odometry CLI end-to-end on a generic .bin directory."""
+    import subprocess
+    import sys
+
+    data = tmp_path / "scans"
+    data.mkdir()
+    ds = CorridorDataset(n_frames=3)
+    for i in range(3):
+        pts = ds[i].astype(np.float32)
+        xyzi = np.c_[pts, np.zeros((pts.shape[0], 1), dtype=np.float32)]
+        xyzi.astype(np.float32).tofile(data / f"{i:06d}.bin")
+
+    cfg = tmp_path / "cfg.yaml"
+    cfg.write_text(f"out_dir: {tmp_path}/results\n")
+    out = subprocess.run(
+        [sys.executable, "-m", "vfmreg_tpu.kiss.cli", str(data), "--dataloader", "generic",
+         "--config", str(cfg), "--platform", "cpu"],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "Average Frequency" in out.stdout
+    assert (tmp_path / "results" / "latest" / "scans_poses_kitti.txt").exists()

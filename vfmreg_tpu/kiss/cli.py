@@ -23,7 +23,19 @@ def main():
     parser.add_argument("--max-range", default=None, type=float)
     parser.add_argument("--n-scans", default=-1, type=int)
     parser.add_argument("--jump", default=0, type=int)
+    parser.add_argument(
+        "--platform",
+        default=None,
+        type=str,
+        help="Force a jax backend (e.g. 'cpu'); needed because remote-TPU "
+        "plugins can override the JAX_PLATFORMS env var.",
+    )
     args = parser.parse_args()
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
 
     if args.dataloader in ("kitti",):
         dataset = dataset_factory(args.dataloader, Path(args.data_dir), int(args.sequence))

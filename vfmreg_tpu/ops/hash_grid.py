@@ -8,11 +8,12 @@ map lives on device as sorted, padded arrays:
   ("buckets"), in insertion order (so the first-`max_points_per_voxel` cap keeps the
   same points as the reference's `VoxelBlock::AddPoint`, `VoxelHashMap.hpp:47-54`);
 * per-bucket `(start, count)` CSR offsets plus the sorted unique hash array;
-* lookup = `jnp.searchsorted` on the unique-hash array (log2 U gather steps) — no
+* lookup = a packed open-addressing table ([H, 4] rows of (hash, start, count)),
+  `_PROBES` unrolled linear-probe rounds of ONE wide gather each — no
   pointer-chasing, no host round-trips;
-* the 27-neighborhood NN query is a `lax.fori_loop` over the 27 offsets, each step
-  gathering one bucket slab `[N, cap]` and folding a running arg-min — a pure
-  gather + VPU reduction, HBM-bandwidth bound, O(N * 27 * cap).
+* the 27-neighborhood NN query gathers each bucket run as 8-point SLABS (the
+  gather unit is row-rate-bound, so fewer/wider rows win) into a materialized
+  candidate set that the ICP loops CACHE across GN iterations.
 
 Everything is fixed-shape; invalid rows carry +inf distances.
 """
@@ -60,9 +61,9 @@ _SLAB = 8
 class HashGrid:
     """Sorted-bucket voxel grid. All arrays are padded to static capacities.
 
-    Lookups go through a linear-probing open-addressing table (`table_*`,
-    capacity 2x the point budget) — ~`_PROBES` gather rounds per query versus
-    log2(U) for binary search on the sorted hashes; the sorted arrays remain the
+    Lookups go through a linear-probing open-addressing table (`table`,
+    capacity 4x the point budget, packed (hash, start, count) rows) —
+    `_PROBES` single-gather rounds per query; the sorted arrays remain the
     bucket-grouping backbone and exact export order.
     """
 

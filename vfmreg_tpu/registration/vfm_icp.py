@@ -16,7 +16,8 @@ Phase 2: continue with vanilla geometric ICP against the voxel grid, sharing the
   1000-iteration budget (`:347-372`).
 
 TPU design: correspondences are a fixed-shape masked set; "filtering" narrows the
-mask monotonically. Both phases run inside one jitted `lax.while_loop` pair.
+mask monotonically. Phase 1 is a jitted `lax.while_loop`; phase 2 reuses the
+candidate-cached `geometric_icp_loop` from `registration.icp`.
 """
 
 from __future__ import annotations
