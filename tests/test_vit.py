@@ -72,11 +72,26 @@ def test_vit_matches_transformers_interpolated_grid(rng):
     with torch.no_grad():
         theirs = model(torch.from_numpy(img.transpose(0, 3, 1, 2))).last_hidden_state.numpy()
     got = np.asarray(ours["patches"]).reshape(1, -1, SMALL.hidden_size)
-    # jax bicubic (a=-0.5) vs torch bicubic (a=-0.75): small deviation allowed,
-    # but cosine geometry must be preserved.
-    ref = theirs[:, 1:]
-    cos = np.sum(got * ref, -1) / (np.linalg.norm(got, axis=-1) * np.linalg.norm(ref, axis=-1))
-    assert cos.min() > 0.999
+    # Pos-embed interpolation is an exact torch-bicubic clone (a=-0.75), so the
+    # interpolated grid matches to the same tolerance as the native grid.
+    np.testing.assert_allclose(got, theirs[:, 1:], atol=2e-4)
+
+
+def test_bicubic_matrix_matches_torch_interpolate(rng):
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    from vfmreg_tpu.models.vit import _torch_bicubic_matrix
+
+    for (g, gh, gw) in [(37, 16, 20), (16, 23, 9), (7, 19, 3)]:
+        x = rng.normal(size=(1, 5, g, g)).astype(np.float32)
+        ref = F.interpolate(
+            torch.from_numpy(x), size=(gh, gw), mode="bicubic", align_corners=False
+        ).numpy()
+        wh = np.asarray(_torch_bicubic_matrix(g, gh))
+        ww = np.asarray(_torch_bicubic_matrix(g, gw))
+        mine = np.einsum("wj,bchj->bchw", ww, np.einsum("hi,bcij->bchj", wh, x))
+        np.testing.assert_allclose(mine, ref, atol=2e-5)
 
 
 def test_flash_attention_matches_reference(rng):

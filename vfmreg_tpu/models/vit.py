@@ -126,24 +126,47 @@ def _attention(x, block, cfg: ViTConfig):
     return out @ block["proj"]["w"] + block["proj"]["b"]
 
 
+def _torch_bicubic_matrix(n_in: int, n_out: int) -> jnp.ndarray:
+    """[n_out, n_in] weights reproducing torch `F.interpolate(mode="bicubic",
+    align_corners=False, antialias=False)` along one axis: cubic convolution
+    with a=-0.75 and border-replicated taps. Exact parity lets the resize run
+    as two small matmuls (MXU-friendly) instead of a gather-based resize."""
+    a = -0.75
+    x = (jnp.arange(n_out, dtype=jnp.float32) + 0.5) * (n_in / n_out) - 0.5
+    base = jnp.floor(x)
+    t = x - base  # in [0, 1)
+    # Cubic convolution weights for taps at offsets -1, 0, 1, 2 from `base`.
+    def w1(s):  # |s| <= 1
+        return ((a + 2.0) * s - (a + 3.0)) * s * s + 1.0
+
+    def w2(s):  # 1 < |s| < 2
+        return ((a * s - 5.0 * a) * s + 8.0 * a) * s - 4.0 * a
+
+    weights = jnp.stack([w2(t + 1.0), w1(t), w1(1.0 - t), w2(2.0 - t)], axis=-1)
+    taps = base[:, None].astype(jnp.int32) + jnp.arange(-1, 3)[None, :]
+    taps = jnp.clip(taps, 0, n_in - 1)
+    mat = jnp.zeros((n_out, n_in), dtype=jnp.float32)
+    rows = jnp.repeat(jnp.arange(n_out), 4)
+    return mat.at[rows, taps.reshape(-1)].add(weights.reshape(-1))
+
+
 def interpolate_pos_embed(pos_embed: jnp.ndarray, grid_h: int, grid_w: int, cfg: ViTConfig):
     """Bicubic resize of the patch position embeddings to (grid_h, grid_w).
 
-    Mirrors `Dinov2Embeddings.interpolate_pos_encoding` (bicubic,
-    align_corners=False). jax.image bicubic uses the Keys kernel (a=-0.5) vs
-    torch's a=-0.75 — identical when no resize is needed, sub-1e-3 relative
-    difference otherwise (descriptor-geometry impact validated in tests).
+    Exact clone of `Dinov2Embeddings.interpolate_pos_encoding` (torch bicubic,
+    a=-0.75, align_corners=False), realized as two 1-D weight matmuls.
     """
     cls_pos = pos_embed[:, :1]
     patch_pos = pos_embed[:, 1:]
     g = cfg.pos_grid
     if grid_h == g and grid_w == g:
         return pos_embed
-    patch_pos = patch_pos.reshape(1, g, g, -1)
-    patch_pos = jax.image.resize(
-        patch_pos, (1, grid_h, grid_w, patch_pos.shape[-1]), method="bicubic"
-    )
-    patch_pos = patch_pos.reshape(1, grid_h * grid_w, -1)
+    patch_pos = patch_pos.reshape(g, g, -1).astype(jnp.float32)
+    wh = _torch_bicubic_matrix(g, grid_h)
+    ww = _torch_bicubic_matrix(g, grid_w)
+    patch_pos = jnp.einsum("hi,ijd->hjd", wh, patch_pos)
+    patch_pos = jnp.einsum("wj,hjd->hwd", ww, patch_pos)
+    patch_pos = patch_pos.reshape(1, grid_h * grid_w, -1).astype(pos_embed.dtype)
     return jnp.concatenate([cls_pos, patch_pos], axis=1)
 
 
