@@ -157,3 +157,47 @@ def test_compute_similarity(rng):
     feats = np.stack([emb, -emb, np.zeros(16, np.float32)])
     sims = gen.compute_similarity(feats, emb)
     np.testing.assert_allclose(sims, [1.0, -1.0, 0.0], atol=1e-5)
+
+
+def test_adaptive_avg_pool_matches_torch(rng):
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    from vfmreg_tpu.models.featup import _adaptive_avg_pool
+
+    x = rng.normal(size=(13, 21, 4)).astype(np.float32)
+    ref = F.adaptive_avg_pool2d(torch.from_numpy(x.transpose(2, 0, 1)), (6, 10)).numpy()
+    mine = np.asarray(_adaptive_avg_pool(jnp.asarray(x), 6, 10)).transpose(2, 0, 1)
+    np.testing.assert_allclose(mine, ref, atol=1e-6)
+
+
+def test_jbu_stack_learned(rng):
+    """Learned JBU stack: 16x upsample, finite, and hub-layout weights load."""
+    from vfmreg_tpu.models.featup import (
+        init_jbu_stack_params,
+        jbu_stack_upsample,
+        load_featup_state_dict,
+    )
+
+    d = 8
+    params = init_jbu_stack_params(jax.random.PRNGKey(0), d)
+    src = jnp.asarray(rng.normal(size=(4, 5, d)).astype(np.float32))
+    guide = jnp.asarray(rng.uniform(size=(56, 70, 3)).astype(np.float32))
+    out = jbu_stack_upsample(params, src, guide)
+    assert out.shape == (64, 80, d)
+    assert np.isfinite(np.asarray(out)).all()
+
+    # Fabricate a hub-style state dict and check the loader round-trips it.
+    sd = {}
+    for i, st in enumerate(params["stages"], start=1):
+        sd[f"upsampler.up{i}.range_temp"] = np.asarray(st["range_temp"])
+        sd[f"upsampler.up{i}.sigma_spatial"] = np.asarray(st["sigma_spatial"])
+        sd[f"upsampler.up{i}.range_proj.0.weight"] = np.asarray(st["proj1_w"]).T[:, :, None, None]
+        sd[f"upsampler.up{i}.range_proj.0.bias"] = np.asarray(st["proj1_b"])
+        sd[f"upsampler.up{i}.range_proj.3.weight"] = np.asarray(st["proj2_w"]).T[:, :, None, None]
+        sd[f"upsampler.up{i}.range_proj.3.bias"] = np.asarray(st["proj2_b"])
+    sd["upsampler.fixup_proj.1.weight"] = np.asarray(params["fixup_w"]).T[:, :, None, None]
+    sd["upsampler.fixup_proj.1.bias"] = np.asarray(params["fixup_b"])
+    loaded = load_featup_state_dict(sd)
+    out2 = jbu_stack_upsample(loaded, src, guide)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(out), atol=1e-6)

@@ -96,9 +96,11 @@ class ImageFeatureGenerator:
         config: Optional[ViTConfig] = None,
         seed: int = 0,
         pca_fit_file: Optional[Path] = None,
+        featup_params: Optional[Dict[str, Any]] = None,
     ) -> None:
         self.foundation_model_name = foundation_model
         self.use_featup = use_featup
+        self.featup_params = featup_params
         if foundation_model == "dinov2":
             self.config = config or PRESETS["dinov2_vits14"]
             self.patch_size = 14
@@ -153,12 +155,34 @@ class ImageFeatureGenerator:
         feats = self._forward(batch)  # [1, h, w, D]
         if upsample:
             if self.use_featup:
-                # FeatUp path: image-guided joint bilateral upsampling
-                # (`models/featup.py`; the reference's learned JBU stack).
-                from vfmreg_tpu.models.featup import jbu_upsample
+                # FeatUp path (`models/featup.py`): the learned JBU stack when
+                # its weights are available (VFMREG_FEATUP_WEIGHTS or the
+                # `featup_params` ctor arg), else classical guided JBU.
+                if self.featup_params is None:
+                    import os
 
-                guide = jnp.asarray(image, dtype=jnp.float32) / 255.0
-                feats = jbu_upsample(feats[0], guide, img_h, img_w)[None]
+                    wpath = os.environ.get("VFMREG_FEATUP_WEIGHTS")
+                    if wpath and Path(wpath).exists():
+                        import torch
+
+                        from vfmreg_tpu.models.featup import load_featup_state_dict
+
+                        sd = torch.load(wpath, map_location="cpu")
+                        self.featup_params = load_featup_state_dict(
+                            {k: v.numpy() for k, v in sd.items()}
+                        )
+                if self.featup_params is not None:
+                    from vfmreg_tpu.models.featup import jbu_stack_upsample
+
+                    hr = jbu_stack_upsample(self.featup_params, feats[0], jnp.asarray(batch[0]))
+                    feats = jax.image.resize(
+                        hr[None], (1, img_h, img_w, hr.shape[-1]), method="bilinear", antialias=False
+                    )
+                else:
+                    from vfmreg_tpu.models.featup import jbu_upsample
+
+                    guide = jnp.asarray(image, dtype=jnp.float32) / 255.0
+                    feats = jbu_upsample(feats[0], guide, img_h, img_w)[None]
             else:
                 feats = jax.image.resize(
                     feats, (1, img_h, img_w, feats.shape[-1]), method="bilinear", antialias=False
