@@ -213,7 +213,7 @@ def test_odometry_cli_generic(tmp_path, rng):
     out = subprocess.run(
         [sys.executable, "-m", "vfmreg_tpu.kiss.cli", str(data), "--dataloader", "generic",
          "--config", str(cfg), "--platform", "cpu"],
-        capture_output=True, text=True, timeout=600,
+        capture_output=True, text=True, timeout=1800,
     )
     assert out.returncode == 0, out.stderr[-2000:]
     assert "Average Frequency" in out.stdout

@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import Optional, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -39,7 +39,12 @@ _PROBES = 8
 # Points are additionally exposed as G-row "slabs" so candidate gathers fetch
 # whole bucket runs in a few wide rows instead of per-point rows (the TPU
 # gather unit is row-rate-bound at ~6 ns/row regardless of row width).
-_SLAB = 8
+# Overridable for perf probes via VFMREG_SLAB (must be a power of 2).
+import os as _os
+
+_SLAB = int(_os.environ.get("VFMREG_SLAB", "8"))
+assert _SLAB & (_SLAB - 1) == 0 and _SLAB > 0
+_SLAB_SHIFT = _SLAB.bit_length() - 1
 
 
 @partial(
@@ -70,7 +75,7 @@ class HashGrid:
     unique_hash: jnp.ndarray  # [U] uint32, ascending; padding = INVALID_HASH
     bucket_start: jnp.ndarray  # [U] int32 index into `points`
     bucket_count: jnp.ndarray  # [U] int32, clipped to max_points_per_voxel
-    table: jnp.ndarray  # [H, 4] int32 packed (hash, start, count, 0); hash INVALID = free
+    table: jnp.ndarray  # [H, 8] int32: packed (hash, start, count, 0) for slot i and i+1
     points: jnp.ndarray  # [M, 3] f32, sorted by voxel hash
     points_slab: jnp.ndarray  # [M/_SLAB, _SLAB*3] f32 slab view of `points`
     feats: Optional[jnp.ndarray]  # [M, D] f32 or None
@@ -171,10 +176,11 @@ def build_hash_grid(
     table_hash, table_start, table_count, _ = jax.lax.fori_loop(
         0, _PROBES, insert_round, (table_hash, table_start, table_count, pending0)
     )
-    # Pack (hash, start, count) into one [H, 4] row so each probe round is a
-    # single wide gather (keeping them separate exploded into hundreds of
-    # transposed gathers in the optimized HLO).
-    table = jnp.stack(
+    # Pack (hash, start, count) into one row so each probe round is a single
+    # wide gather (keeping them separate exploded into hundreds of transposed
+    # gathers in the optimized HLO), and pair each slot with its linear-probe
+    # successor — one [H, 8] row serves TWO probe slots, halving probe rounds.
+    t4 = jnp.stack(
         [
             table_hash[:H].astype(jnp.int32),
             table_start[:H],
@@ -183,6 +189,7 @@ def build_hash_grid(
         ],
         axis=1,
     )
+    table = jnp.concatenate([t4, jnp.roll(t4, -1, axis=0)], axis=1)
 
     del start_of_bucket
     return HashGrid(
@@ -191,7 +198,13 @@ def build_hash_grid(
         bucket_count=bucket_count,
         table=table,
         points=pts_s,
-        points_slab=jnp.pad(pts_s, ((0, (-n) % _SLAB), (0, 0))).reshape(-1, _SLAB * 3),
+        # SoA within each slab row ([x0..x7, y0..y7, z0..z7]): distance math on
+        # gathered slabs then runs on contiguous G-lanes per coordinate with no
+        # AoS stride-3 shuffling.
+        points_slab=jnp.pad(pts_s, ((0, (-n) % _SLAB), (0, 0)))
+        .reshape(-1, _SLAB, 3)
+        .swapaxes(1, 2)
+        .reshape(-1, 3 * _SLAB),
         feats=feats_s,
         valid=valid,
         voxel_size=jnp.asarray(voxel_size, dtype=jnp.float32),
@@ -219,13 +232,17 @@ def _lookup_buckets(grid: HashGrid, h: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.nd
     found = jnp.zeros(hf.shape, dtype=bool)
     h_s32 = hf.astype(jnp.int32)
 
-    for r in range(_PROBES):
+    for r in range(0, _PROBES, 2):
         slot = (base + r) & (H - 1)
-        row = grid.table[slot]  # [Q, 4] single packed gather
-        hit = (row[:, 0] == h_s32) & ~found
-        start = jnp.where(hit, row[:, 1], start)
-        count = jnp.where(hit, row[:, 2], count)
-        found = found | hit
+        row = grid.table[slot]  # [Q, 8] packed gather covering slots r and r+1
+        hit0 = (row[:, 0] == h_s32) & ~found
+        start = jnp.where(hit0, row[:, 1], start)
+        count = jnp.where(hit0, row[:, 2], count)
+        found = found | hit0
+        hit1 = (row[:, 4] == h_s32) & ~found
+        start = jnp.where(hit1, row[:, 5], start)
+        count = jnp.where(hit1, row[:, 6], count)
+        found = found | hit1
     valid = found & (hf != INVALID_HASH)
     return start.reshape(shape), jnp.where(valid, count, 0).reshape(shape)
 
@@ -246,21 +263,35 @@ def nearest_neighbors(
       (neighbor[N,3], dist[N], found[N]) — dist=+inf / found=False where the
       neighborhood is empty or the query is masked out.
     """
-    cand_pts, cand_ok = gather_candidates(grid, queries, query_mask)
-    return nn_from_candidates(cand_pts, cand_ok, queries, query_mask)
+    cands = gather_candidate_slabs(grid, queries, query_mask)
+    return nn_from_slabs(cands, grid.points, queries, query_mask)
 
 
-def gather_candidates(
+class Candidates(NamedTuple):
+    """Gathered 27-voxel candidate set in SoA slab layout.
+
+    `slabs` [N, R, 3G] rows are [x0..x_{G-1}, y0.., z0..]; `ok` [N, R*G] marks
+    rows inside their bucket's (start, count) window; `row_global` [N, R*G]
+    maps each candidate back to its row in `grid.points`.
+    """
+
+    slabs: jnp.ndarray
+    ok: jnp.ndarray
+    row_global: jnp.ndarray
+
+
+def gather_candidate_slabs(
     grid: HashGrid, queries: jnp.ndarray, query_mask: Optional[jnp.ndarray] = None
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """[N, 27*cap, 3] candidate map points around each query + validity.
+) -> Candidates:
+    """27 hash lookups + one wide slab gather around each query.
 
-    27 hash lookups + one wide gather; exactly the 27-voxel / first-cap
-    candidate set of the reference's `GetClosestNeighbor` scan. The
-    materialized candidates are CACHED across GN iterations by the ICP loops
-    (see `registration.icp`): between cache refreshes the NN is computed within
-    this set only — this amortizes the (gather-rate-bound) candidate
-    construction over several cheap VPU-only iterations.
+    Exactly the 27-voxel / first-cap candidate set of the reference's
+    `GetClosestNeighbor` scan. The materialized candidates are CACHED across GN
+    iterations by the ICP loops (see `registration.icp`): between cache
+    refreshes the NN is computed within this set only — this amortizes the
+    (memory-rate-bound) candidate construction over several cheap VPU-only
+    iterations. Slab rows stay SoA so the cached-NN distance math runs on
+    contiguous G-lanes.
     """
     n = queries.shape[0]
     if query_mask is None:
@@ -278,14 +309,13 @@ def gather_candidates(
     G = _SLAB
     n_slabs = (cap + G - 2) // G + 1
     num_slabs_total = grid.points_slab.shape[0]
-    slab0 = start >> 3  # start // G (G == 8)
+    slab0 = start >> _SLAB_SHIFT  # start // G
     slab_idx = jnp.clip(
         slab0[..., None] + jnp.arange(n_slabs, dtype=jnp.int32)[None, None, :],
         0,
         num_slabs_total - 1,
     )  # [N, 27, n_slabs]
-    slabs = grid.points_slab[slab_idx]  # [N, 27, n_slabs, G*3]
-    cand = slabs.reshape(n, 27, n_slabs * G, 3)
+    slabs = grid.points_slab[slab_idx]  # [N, 27, n_slabs, 3G]
     row_global = (slab_idx[..., None] * G + jnp.arange(G, dtype=jnp.int32)).reshape(
         n, 27, n_slabs * G
     )
@@ -293,7 +323,56 @@ def gather_candidates(
         row_global < (start + count)[..., None]
     )
     k = 27 * n_slabs * G
-    return cand.reshape(n, k, 3), cand_ok.reshape(n, k)
+    return Candidates(
+        slabs=slabs.reshape(n, 27 * n_slabs, 3 * G),
+        ok=cand_ok.reshape(n, k),
+        row_global=row_global.reshape(n, k),
+    )
+
+
+def nn_from_slabs(
+    cands: Candidates,
+    grid_points: jnp.ndarray,  # [M, 3] the grid's sorted point array
+    queries: jnp.ndarray,  # [N, 3]
+    query_mask: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Closest cached candidate per query.
+
+    All distance math runs on the SoA slab rows (one [N, R, G] lane-contiguous
+    subtraction per coordinate, no stride-3 shuffles); the winning point is
+    fetched with a single N-row gather via `row_global` so the slab cache has
+    exactly one consumer and fuses cleanly.
+    """
+    n = queries.shape[0]
+    if query_mask is None:
+        query_mask = jnp.ones((n,), dtype=bool)
+    G = _SLAB
+    slabs = cands.slabs  # [N, R, 3G]
+    dx = slabs[:, :, 0 * G : 1 * G] - queries[:, None, 0:1]
+    dy = slabs[:, :, 1 * G : 2 * G] - queries[:, None, 1:2]
+    dz = slabs[:, :, 2 * G : 3 * G] - queries[:, None, 2:3]
+    d2 = (dx * dx + dy * dy + dz * dz).reshape(n, -1)  # [N, K]
+    inf = jnp.float32(jnp.inf)
+    d2 = jnp.where(cands.ok, d2, inf)
+    j = jnp.argmin(d2, axis=-1)
+    best_d2 = jnp.take_along_axis(d2, j[:, None], axis=-1)[:, 0]
+    best_row = jnp.take_along_axis(cands.row_global, j[:, None], axis=-1)[:, 0]
+    best_pt = grid_points[jnp.clip(best_row, 0, grid_points.shape[0] - 1)]
+    found = jnp.isfinite(best_d2) & query_mask
+    return best_pt, jnp.sqrt(jnp.where(found, best_d2, inf)), found
+
+
+def gather_candidates(
+    grid: HashGrid, queries: jnp.ndarray, query_mask: Optional[jnp.ndarray] = None
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """[N, K, 3] candidate map points around each query + validity.
+
+    AoS convenience view over `gather_candidate_slabs` (pays one transpose —
+    the hot ICP path uses the slab form directly)."""
+    c = gather_candidate_slabs(grid, queries, query_mask)
+    n, r, _ = c.slabs.shape
+    cand = c.slabs.reshape(n, r, 3, _SLAB).swapaxes(-1, -2).reshape(n, r * _SLAB, 3)
+    return cand, c.ok
 
 
 def nn_from_candidates(
