@@ -105,3 +105,42 @@ def test_feats_sorted_alongside(rng):
     np.testing.assert_allclose(
         np.asarray(stored_feats)[v][:, 0], np.asarray(stored_pts)[v].sum(axis=1), atol=1e-5
     )
+
+
+def test_slab_and_aos_candidate_views_agree(rng):
+    """The SoA slab path (hot ICP path) and the AoS convenience view select the
+    same nearest neighbors, and row_global maps back to the exact stored rows."""
+    from vfmreg_tpu.ops.hash_grid import (
+        gather_candidate_slabs,
+        gather_candidates,
+        nn_from_candidates,
+        nn_from_slabs,
+    )
+
+    pts = jnp.asarray(rng.uniform(-10, 10, (700, 3)).astype(np.float32))
+    q = jnp.asarray(rng.uniform(-10, 10, (100, 3)).astype(np.float32))
+    grid = build_hash_grid(pts, 1.0)
+
+    cands = gather_candidate_slabs(grid, q)
+    pt_s, d_s, f_s = nn_from_slabs(cands, grid.points, q)
+    cand, ok = gather_candidates(grid, q)
+    pt_a, d_a, f_a = nn_from_candidates(cand, ok, q)
+
+    np.testing.assert_array_equal(np.asarray(f_s), np.asarray(f_a))
+    np.testing.assert_allclose(
+        np.asarray(d_s)[np.asarray(f_s)], np.asarray(d_a)[np.asarray(f_a)], rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(pt_s)[np.asarray(f_s)], np.asarray(pt_a)[np.asarray(f_a)], atol=1e-6
+    )
+
+    # row_global round-trip: every valid candidate equals the stored point row.
+    slabs = np.asarray(cands.slabs)
+    n, r, tg = slabs.shape
+    g = tg // 3
+    cand_soa = slabs.reshape(n, r, 3, g).transpose(0, 1, 3, 2).reshape(n, r * g, 3)
+    rowg = np.asarray(cands.row_global)
+    okm = np.asarray(cands.ok)
+    stored = np.asarray(grid.points)
+    sel = np.where(okm)
+    np.testing.assert_allclose(cand_soa[sel], stored[rowg[sel]], atol=0)
