@@ -231,3 +231,27 @@ def test_maskclip_parity_vs_transformers(rng):
         [np.asarray(ours["cls"])[:, None, :], np.asarray(ours["patches"]).reshape(1, -1, 64)], axis=1
     )
     np.testing.assert_allclose(got, ref, atol=3e-4)
+
+
+def test_prefetch_order_and_exceptions():
+    from vfmreg_tpu.utils.prefetch import prefetch
+
+    assert list(prefetch(range(100), size=3)) == list(range(100))
+
+    def gen():
+        yield 1
+        yield 2
+        raise RuntimeError("boom")
+
+    it = prefetch(gen(), size=2)
+    assert next(it) == 1
+    assert next(it) == 2
+    import pytest
+
+    with pytest.raises(RuntimeError, match="boom"):
+        next(it)
+
+    # Early consumer stop shuts the worker down without hanging.
+    it2 = prefetch(iter(range(10**6)), size=1)
+    assert next(it2) == 0
+    it2.close()

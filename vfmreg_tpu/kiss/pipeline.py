@@ -124,8 +124,14 @@ class OdometryPipeline:
         return frame, timestamps
 
     def _run_pipeline(self):
-        for idx in range(self._first, self._last):
-            raw_frame, timestamps = self._next(idx)
+        from vfmreg_tpu.utils.prefetch import prefetch
+
+        # Dataset reads (disk IO + decode) overlap with device-side
+        # registration via a one-ahead background thread.
+        frames = prefetch(
+            (self._next(idx) for idx in range(self._first, self._last)), size=2
+        )
+        for raw_frame, timestamps in frames:
             start = time.perf_counter_ns()
             pose, keypoints, _ = self.odometry.register_frame(raw_frame, timestamps)
             self.times.append(time.perf_counter_ns() - start)

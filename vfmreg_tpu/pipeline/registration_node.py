@@ -94,6 +94,12 @@ class RegistrationNode:
         self.viz = viz
 
         self.filenames = sorted(Path(folder).glob("scene_*.h5"))
+        # One-ahead H5 scene prefetch: the next scene's read overlaps the
+        # current scene's (device-heavy) registration work.
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._scene_pool = ThreadPoolExecutor(max_workers=1)
+        self._scene_futures = {}
         self.scene_idx = 0
         self.scan_idx = 0
         self.map_descriptor_cache: Dict[str, tuple] = {}
@@ -502,6 +508,18 @@ class RegistrationNode:
             return local_map
         return np.concatenate([local_map] + new_clusters, axis=0)
 
+    def _read_scene(self, idx):
+        fut = self._scene_futures.pop(idx, None)
+        if fut is not None:
+            return fut.result()
+        return read_scenes(self.filenames[idx])
+
+    def _prefetch_scene(self, idx) -> None:
+        if 0 <= idx < len(self.filenames) and idx not in self._scene_futures:
+            self._scene_futures[idx] = self._scene_pool.submit(
+                read_scenes, self.filenames[idx]
+            )
+
     def make_step(self) -> None:
         """One scene (`registration_node.py:548-989`)."""
         from scipy.spatial.transform import Rotation as Rot
@@ -511,7 +529,8 @@ class RegistrationNode:
             return
 
         print(f"Current scene ID: {self.scene_idx} | {self.filenames[self.scene_idx].name}")
-        scene = read_scenes(self.filenames[self.scene_idx])
+        scene = self._read_scene(self.scene_idx)
+        self._prefetch_scene(self.scene_idx + 1)
         scene_local_map = self._accumulate_map(scene)
 
         rng = np.random.RandomState(seed=42)

@@ -1,0 +1,62 @@
+"""Host-side IO/compute overlap.
+
+The reference processes scenes strictly serially (H5 read -> features -> ICP,
+`registration_node.py` main loop). On TPU the host is idle while the device
+runs the registration programs, so a one-thread lookahead on the *input* side
+(H5 reads, image decode, numpy prep) hides most of the IO latency.
+
+`prefetch(iterable, size)` wraps any iterator with a bounded background-thread
+queue: items are produced ahead of consumption, exceptions re-raise at the
+consumption point, and the thread shuts down cleanly when the consumer stops
+early (generator close / GC).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterable, Iterator, TypeVar
+
+T = TypeVar("T")
+
+_SENTINEL = object()
+
+
+def prefetch(iterable: Iterable[T], size: int = 2) -> Iterator[T]:
+    """Iterate `iterable` on a background thread, `size` items ahead."""
+    if size < 1:
+        raise ValueError(f"prefetch size must be >= 1, got {size}")
+    q: "queue.Queue" = queue.Queue(maxsize=size)
+    stop = threading.Event()
+
+    def worker():
+        try:
+            for item in iterable:
+                while True:
+                    if stop.is_set():
+                        return
+                    try:
+                        q.put(item, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+        except BaseException as e:  # re-raised at the consumer
+            if not stop.is_set():
+                q.put((_SENTINEL, e))
+            return
+        if not stop.is_set():
+            q.put((_SENTINEL, None))
+
+    t = threading.Thread(target=worker, daemon=True, name="vfmreg-prefetch")
+    t.start()
+
+    try:
+        while True:
+            item = q.get()
+            if isinstance(item, tuple) and len(item) == 2 and item[0] is _SENTINEL:
+                if item[1] is not None:
+                    raise item[1]
+                return
+            yield item
+    finally:
+        stop.set()
