@@ -136,11 +136,50 @@ def test_slab_and_aos_candidate_views_agree(rng):
 
     # row_global round-trip: every valid candidate equals the stored point row.
     slabs = np.asarray(cands.slabs)
-    n, r, tg = slabs.shape
-    g = tg // 3
+    n, t, sl, tg = slabs.shape
+    r, g = t * sl, tg // 3
     cand_soa = slabs.reshape(n, r, 3, g).transpose(0, 1, 3, 2).reshape(n, r * g, 3)
-    rowg = np.asarray(cands.row_global)
-    okm = np.asarray(cands.ok)
+    rowg = np.asarray(cands.row_global())
+    okm = np.asarray(cands.ok())
     stored = np.asarray(grid.points)
     sel = np.where(okm)
     np.testing.assert_allclose(cand_soa[sel], stored[rowg[sel]], atol=0)
+
+
+def test_nn_kernel_matches_fallback(rng):
+    """Pallas nn_argmin (interpret mode) == the jnp cached-NN fallback, and the
+    cached-NN path agrees with the exact slab NN through the public API."""
+    from vfmreg_tpu.ops.hash_grid import (
+        build_nn_cache,
+        gather_candidate_slabs,
+        nn_from_cache,
+        nn_from_slabs,
+    )
+    from vfmreg_tpu.ops.nn_kernel import nn_argmin
+
+    pts = jnp.asarray(rng.uniform(-10, 10, (900, 3)).astype(np.float32))
+    q = jnp.asarray(rng.uniform(-10, 10, (130, 3)).astype(np.float32))
+    grid = build_hash_grid(pts, 1.0)
+    cands = gather_candidate_slabs(grid, q)
+    cache = build_nn_cache(cands)
+
+    d2_k, k_k = nn_argmin(cache.cx, cache.cy, cache.cz, q, block_q=64, interpret=True)
+
+    with np.errstate(over="ignore"):  # sentinel coords overflow to +inf by design
+        d2 = (
+            (np.asarray(cache.cx) - np.asarray(q)[:, 0:1]) ** 2
+            + (np.asarray(cache.cy) - np.asarray(q)[:, 1:2]) ** 2
+            + (np.asarray(cache.cz) - np.asarray(q)[:, 2:3]) ** 2
+        )
+    best = d2.min(axis=-1)
+    ks = np.where(d2 == best[:, None], np.arange(d2.shape[-1])[None, :], 2**30).min(axis=-1)
+    fin = np.isfinite(best)
+    np.testing.assert_allclose(np.asarray(d2_k)[fin], best[fin], rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(k_k)[fin], ks[fin])
+
+    pt_c, d_c, f_c = nn_from_cache(cache, grid.points, q)
+    pt_s, d_s, f_s = nn_from_slabs(cands, grid.points, q)
+    np.testing.assert_array_equal(np.asarray(f_c), np.asarray(f_s))
+    fm = np.asarray(f_c)
+    np.testing.assert_allclose(np.asarray(d_c)[fm], np.asarray(d_s)[fm], rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(pt_c)[fm], np.asarray(pt_s)[fm], atol=1e-6)

@@ -270,14 +270,39 @@ def nearest_neighbors(
 class Candidates(NamedTuple):
     """Gathered 27-voxel candidate set in SoA slab layout.
 
-    `slabs` [N, R, 3G] rows are [x0..x_{G-1}, y0.., z0..]; `ok` [N, R*G] marks
-    rows inside their bucket's (start, count) window; `row_global` [N, R*G]
-    maps each candidate back to its row in `grid.points`.
+    `slabs` [N, 27, S, 3G] rows are [x0..x_{G-1}, y0.., z0..]; `start`/`count`
+    [N, 27] are each neighbor bucket's row window in `grid.points`. Validity
+    masks and global row ids are recomputed from (start, count) on the fly —
+    iota math is free on the VPU, while materializing [N, 27*S*G] masks would
+    add ~40% HBM traffic to every cached-NN iteration.
+
+    Derived views: `ok()` [N, K] candidate validity, `row_global()` [N, K] map
+    back to rows of `grid.points`, with K = 27*S*G.
     """
 
     slabs: jnp.ndarray
-    ok: jnp.ndarray
-    row_global: jnp.ndarray
+    start: jnp.ndarray
+    count: jnp.ndarray
+
+    def _rows(self) -> jnp.ndarray:
+        n, _, s, _ = self.slabs.shape
+        G = _SLAB
+        slab0 = self.start >> _SLAB_SHIFT
+        slab_idx = slab0[..., None] + jnp.arange(s, dtype=jnp.int32)[None, None, :]
+        return (slab_idx[..., None] * G + jnp.arange(G, dtype=jnp.int32)).reshape(
+            n, 27, s * G
+        )
+
+    def row_global(self) -> jnp.ndarray:
+        n = self.slabs.shape[0]
+        return self._rows().reshape(n, -1)
+
+    def ok(self) -> jnp.ndarray:
+        n = self.slabs.shape[0]
+        rows = self._rows()
+        return (
+            (rows >= self.start[..., None]) & (rows < (self.start + self.count)[..., None])
+        ).reshape(n, -1)
 
 
 def gather_candidate_slabs(
@@ -316,18 +341,11 @@ def gather_candidate_slabs(
         num_slabs_total - 1,
     )  # [N, 27, n_slabs]
     slabs = grid.points_slab[slab_idx]  # [N, 27, n_slabs, 3G]
-    row_global = (slab_idx[..., None] * G + jnp.arange(G, dtype=jnp.int32)).reshape(
-        n, 27, n_slabs * G
-    )
-    cand_ok = (row_global >= start[..., None]) & (
-        row_global < (start + count)[..., None]
-    )
-    k = 27 * n_slabs * G
-    return Candidates(
-        slabs=slabs.reshape(n, 27 * n_slabs, 3 * G),
-        ok=cand_ok.reshape(n, k),
-        row_global=row_global.reshape(n, k),
-    )
+    # Rows gathered through a CLIPPED slab index are duplicates of the last
+    # slab; the recomputed (unclipped) row ids in `Candidates._rows` land >= M
+    # there and always fail the (start, count) window, so they are never
+    # selected.
+    return Candidates(slabs=slabs, start=start, count=count)
 
 
 def nn_from_slabs(
@@ -347,18 +365,91 @@ def nn_from_slabs(
     if query_mask is None:
         query_mask = jnp.ones((n,), dtype=bool)
     G = _SLAB
-    slabs = cands.slabs  # [N, R, 3G]
+    slabs = cands.slabs.reshape(n, -1, 3 * G)  # [N, R, 3G]
     dx = slabs[:, :, 0 * G : 1 * G] - queries[:, None, 0:1]
     dy = slabs[:, :, 1 * G : 2 * G] - queries[:, None, 1:2]
     dz = slabs[:, :, 2 * G : 3 * G] - queries[:, None, 2:3]
     d2 = (dx * dx + dy * dy + dz * dz).reshape(n, -1)  # [N, K]
     inf = jnp.float32(jnp.inf)
-    d2 = jnp.where(cands.ok, d2, inf)
+    d2 = jnp.where(cands.ok(), d2, inf)
     j = jnp.argmin(d2, axis=-1)
     best_d2 = jnp.take_along_axis(d2, j[:, None], axis=-1)[:, 0]
-    best_row = jnp.take_along_axis(cands.row_global, j[:, None], axis=-1)[:, 0]
+    best_row = jnp.take_along_axis(cands.row_global(), j[:, None], axis=-1)[:, 0]
     best_pt = grid_points[jnp.clip(best_row, 0, grid_points.shape[0] - 1)]
     found = jnp.isfinite(best_d2) & query_mask
+    return best_pt, jnp.sqrt(jnp.where(found, best_d2, inf)), found
+
+
+class NNCache(NamedTuple):
+    """Kernel-ready SoA view of a `Candidates` set: one [N, K_pad] array per
+    coordinate (invalid candidates carry the `INVALID_COORD` sentinel whose
+    squared distances overflow to +inf — no separate mask array to stream)
+    plus the [N, 27] bucket starts for winner-row reconstruction. Built ONCE
+    per candidate refresh; every cached-NN iteration then streams just the
+    three coordinate arrays in a single fused pass
+    (`ops.nn_kernel.nn_argmin` on TPU)."""
+
+    cx: jnp.ndarray
+    cy: jnp.ndarray
+    cz: jnp.ndarray
+    start: jnp.ndarray  # [N, 27]
+    n_slabs: int  # static: slabs per bucket
+
+
+def build_nn_cache(cands: Candidates) -> NNCache:
+    from vfmreg_tpu.ops.nn_kernel import INVALID_COORD
+
+    n, _, n_slabs, _ = cands.slabs.shape
+    G = _SLAB
+    soa = cands.slabs.reshape(n, -1, 3, G)  # [N, R, 3, G]
+    flat = soa.swapaxes(1, 2).reshape(n, 3, -1)  # [N, 3, K]
+    flat = jnp.where(cands.ok()[:, None, :], flat, jnp.float32(INVALID_COORD))
+    # Pad K to a lane multiple HERE (once per refresh) so every cached-NN
+    # iteration streams the arrays as-is.
+    pad = (-flat.shape[-1]) % 128
+    flat = jnp.pad(flat, ((0, 0), (0, 0), (0, pad)), constant_values=INVALID_COORD)
+    return NNCache(
+        cx=flat[:, 0], cy=flat[:, 1], cz=flat[:, 2], start=cands.start, n_slabs=n_slabs
+    )
+
+
+def _cache_row_from_k(cache: NNCache, best_k: jnp.ndarray) -> jnp.ndarray:
+    """Candidate index -> global row in `grid.points` (tiny [N, 27] lookup)."""
+    G = _SLAB
+    per_bucket = cache.n_slabs * G
+    o = jnp.minimum(best_k // per_bucket, 26)  # lane padding can't win, but clamp
+    within = best_k % per_bucket
+    start_sel = jnp.take_along_axis(cache.start, o[:, None], axis=1)[:, 0]
+    return (start_sel >> _SLAB_SHIFT) * G + within
+
+
+def nn_from_cache(
+    cache: NNCache,
+    grid_points: jnp.ndarray,
+    queries: jnp.ndarray,
+    query_mask: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Closest cached candidate per query — fused Pallas path on TPU, jnp
+    elsewhere. Same contract as `nn_from_slabs`."""
+    n = queries.shape[0]
+    if query_mask is None:
+        query_mask = jnp.ones((n,), dtype=bool)
+    if jax.default_backend() == "tpu":
+        from vfmreg_tpu.ops.nn_kernel import nn_argmin
+
+        best_d2, best_k = nn_argmin(cache.cx, cache.cy, cache.cz, queries)
+    else:
+        qx, qy, qz = queries[:, 0:1], queries[:, 1:2], queries[:, 2:3]
+        d2 = (cache.cx - qx) ** 2 + (cache.cy - qy) ** 2 + (cache.cz - qz) ** 2
+        best_d2 = jnp.min(d2, axis=-1)
+        iota = jnp.arange(d2.shape[-1], dtype=jnp.int32)[None, :]
+        best_k = jnp.min(
+            jnp.where(d2 == best_d2[:, None], iota, jnp.int32(2**30)), axis=-1
+        )
+    found = jnp.isfinite(best_d2) & query_mask
+    best_row = _cache_row_from_k(cache, jnp.minimum(best_k, cache.cx.shape[1] - 1))
+    best_pt = grid_points[jnp.clip(best_row, 0, grid_points.shape[0] - 1)]
+    inf = jnp.float32(jnp.inf)
     return best_pt, jnp.sqrt(jnp.where(found, best_d2, inf)), found
 
 
@@ -370,9 +461,10 @@ def gather_candidates(
     AoS convenience view over `gather_candidate_slabs` (pays one transpose —
     the hot ICP path uses the slab form directly)."""
     c = gather_candidate_slabs(grid, queries, query_mask)
-    n, r, _ = c.slabs.shape
+    n = c.slabs.shape[0]
+    r = c.slabs.shape[1] * c.slabs.shape[2]
     cand = c.slabs.reshape(n, r, 3, _SLAB).swapaxes(-1, -2).reshape(n, r * _SLAB, 3)
-    return cand, c.ok
+    return cand, c.ok()
 
 
 def nn_from_candidates(

@@ -30,7 +30,12 @@ import jax
 import jax.numpy as jnp
 
 from vfmreg_tpu.geometry.se3 import exp_se3, hat_so3, transform_points
-from vfmreg_tpu.ops.hash_grid import HashGrid, gather_candidate_slabs, nn_from_slabs
+from vfmreg_tpu.ops.hash_grid import (
+    HashGrid,
+    build_nn_cache,
+    gather_candidate_slabs,
+    nn_from_cache,
+)
 
 MAX_NUM_ITERATIONS = 1000  # Registration.cpp:92
 ESTIMATION_THRESHOLD = 1e-4  # Registration.cpp:93
@@ -126,12 +131,12 @@ def geometric_icp_loop(
         )
 
     def body(state: _ICPState) -> _ICPState:
-        cands = gather_candidate_slabs(grid, state.source, mask)
+        cache = build_nn_cache(gather_candidate_slabs(grid, state.source, mask))
 
         def inner(carry, _):
             source, T_icp, dx_norm, it, done = carry
             active = (it < max_iterations) & (dx_norm >= estimation_threshold) & ~done
-            nbr, dist, found = nn_from_slabs(cands, grid.points, source, mask)
+            nbr, dist, found = nn_from_cache(cache, grid.points, source, mask)
             accept = found & (dist < max_dist)
             JTJ, JTr, n_corr = build_linear_system(source, nbr, accept, kernel, center)
             dx = gn_step(JTJ, JTr, n_corr)
