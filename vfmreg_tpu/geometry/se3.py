@@ -179,7 +179,12 @@ def transform_points(points: jnp.ndarray, T: jnp.ndarray) -> jnp.ndarray:
     """
     R = T[..., :3, :3]
     t = T[..., :3, 3]
-    return points @ jnp.swapaxes(R, -1, -2) + t[..., None, :]
+    # Full f32 matmul: TPU's default bf16 passes cost up to ~0.5 m at 100 m
+    # coordinates (see utils.precision) — fatal for the 0.6 m recall gate.
+    moved = jnp.matmul(
+        points, jnp.swapaxes(R, -1, -2), precision=jax.lax.Precision.HIGHEST
+    )
+    return moved + t[..., None, :]
 
 
 def orthogonalize_rotation(R: jnp.ndarray, num_iters: int = 10) -> jnp.ndarray:

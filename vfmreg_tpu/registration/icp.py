@@ -30,6 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from vfmreg_tpu.geometry.se3 import exp_se3, hat_so3, transform_points
+from vfmreg_tpu.utils.precision import full_precision
 from vfmreg_tpu.ops.hash_grid import (
     HashGrid,
     build_nn_cache,
@@ -102,6 +103,7 @@ def _conjugate_translation(T: jnp.ndarray, center: jnp.ndarray) -> jnp.ndarray:
     return out.at[:3, 3].set(t_new)
 
 
+@full_precision
 def geometric_icp_loop(
     grid: HashGrid,
     source0: jnp.ndarray,
@@ -169,6 +171,7 @@ def geometric_icp_loop(
 
 
 @partial(jax.jit, static_argnames=("max_iterations", "refresh_interval"))
+@full_precision
 def register_frame_icp(
     grid: HashGrid,
     points: jnp.ndarray,

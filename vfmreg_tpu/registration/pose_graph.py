@@ -23,6 +23,8 @@ from typing import List, NamedTuple
 
 import jax
 import jax.numpy as jnp
+
+from vfmreg_tpu.utils.precision import full_precision
 import numpy as np
 
 from vfmreg_tpu.geometry.se3 import exp_se3, inverse_se3, log_se3
@@ -42,6 +44,7 @@ class Factor(NamedTuple):
 
 
 @partial(jax.jit, static_argnames=("num_iters",))
+@full_precision
 def _optimize(poses, fi, fj, meas, weights, num_iters: int = 20, damping: float = 1e-6):
     n = poses.shape[0]
 

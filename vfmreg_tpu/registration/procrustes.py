@@ -8,6 +8,7 @@ weighted Procrustes used by PointDSC's hypothesis generation.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -31,12 +32,15 @@ def weighted_kabsch(src: jnp.ndarray, tgt: jnp.ndarray, w: jnp.ndarray) -> jnp.n
     c_tgt = jnp.sum(wn[..., None] * tgt, axis=-2)
     src_c = src - c_src[..., None, :]
     tgt_c = tgt - c_tgt[..., None, :]
-    H = jnp.einsum("...ni,...n,...nj->...ij", src_c, wn, tgt_c)
+    H = jnp.einsum("...ni,...n,...nj->...ij", src_c, wn, tgt_c,
+                   precision=jax.lax.Precision.HIGHEST)
     U, _, Vt = jnp.linalg.svd(H)
     det = jnp.linalg.det(jnp.swapaxes(Vt, -1, -2) @ jnp.swapaxes(U, -1, -2))
     D = jnp.stack([jnp.ones_like(det), jnp.ones_like(det), det], axis=-1)
-    R = jnp.einsum("...ji,...j,...kj->...ik", Vt, D, U)  # V diag(1,1,det) U^T
-    t = c_tgt - jnp.einsum("...ij,...j->...i", R, c_src)
+    R = jnp.einsum("...ji,...j,...kj->...ik", Vt, D, U,
+                   precision=jax.lax.Precision.HIGHEST)  # V diag(1,1,det) U^T
+    t = c_tgt - jnp.einsum("...ij,...j->...i", R, c_src,
+                           precision=jax.lax.Precision.HIGHEST)
     T = jnp.zeros(src.shape[:-2] + (4, 4), dtype=src.dtype)
     T = T.at[..., :3, :3].set(R)
     T = T.at[..., :3, 3].set(t)

@@ -28,6 +28,8 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
+from vfmreg_tpu.utils.precision import full_precision
+
 from vfmreg_tpu.registration.procrustes import kabsch
 
 
@@ -38,6 +40,7 @@ class RansacResult(NamedTuple):
 
 
 @partial(jax.jit, static_argnames=("num_hypotheses", "chunk", "ransac_n"))
+@full_precision
 def ransac_registration(
     src: jnp.ndarray,  # [N, 3]
     tgt: jnp.ndarray,  # [N, 3]
@@ -99,6 +102,7 @@ def ransac_registration(
 
 
 @partial(jax.jit, static_argnames=("chunk",))
+@full_precision
 def snap_correspondences(
     src: jnp.ndarray,
     tgt: jnp.ndarray,

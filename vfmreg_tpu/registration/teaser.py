@@ -25,6 +25,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from vfmreg_tpu.utils.precision import full_precision
+
 from vfmreg_tpu.registration.procrustes import weighted_kabsch
 
 
@@ -139,6 +141,7 @@ def _tls_translation(residuals, w_mask, noise_bound):
 
 
 @partial(jax.jit, static_argnames=("max_graph_nodes", "max_iters"))
+@full_precision
 def teaser_registration(
     src: jnp.ndarray,  # [N, 3]
     tgt: jnp.ndarray,  # [N, 3]

@@ -30,6 +30,7 @@ import jax.numpy as jnp
 
 from vfmreg_tpu.geometry.se3 import exp_se3, inverse_se3, transform_points
 from vfmreg_tpu.ops.hash_grid import HashGrid
+from vfmreg_tpu.utils.precision import full_precision
 from vfmreg_tpu.ops.matching import VFMCorrespondences, masked_mad
 from vfmreg_tpu.registration.icp import (
     ESTIMATION_THRESHOLD,
@@ -57,6 +58,7 @@ class _VFMState(NamedTuple):
 
 
 @partial(jax.jit, static_argnames=("max_iterations",))
+@full_precision
 def register_frame_vfm(
     grid: HashGrid,
     points: jnp.ndarray,
