@@ -8,6 +8,12 @@ accumulators that live in the revisited output block (grid iterates db-blocks
 innermost, so the output tile stays resident across the sweep).
 
 Falls back to the `lax.scan` streaming path off-TPU (`ops.matching`).
+
+Precision: the MXU runs the similarity matmul at the default (bf16-pass)
+precision — measured against exact f32 on 2048 x 131072 x 384 normalized
+descriptors this changes NO argmax decisions and flips no >= 0.8 acceptances
+(max similarity error 7e-4), so the 8x-faster default is kept. The geometry
+core, where bf16 is NOT safe, pins full precision — see `utils/precision.py`.
 """
 
 from __future__ import annotations
