@@ -9,7 +9,6 @@ surface `OdometryPipeline` consumes.
 
 from __future__ import annotations
 
-import glob
 import os
 from pathlib import Path
 from typing import List
