@@ -218,3 +218,43 @@ def test_odometry_cli_generic(tmp_path, rng):
     assert out.returncode == 0, out.stderr[-2000:]
     assert "Average Frequency" in out.stdout
     assert (tmp_path / "results" / "latest" / "scans_poses_kitti.txt").exists()
+
+
+def test_device_resident_map_matches_host(rng):
+    """Device-resident incremental updates == host/native map semantics:
+    same kept point set after caps + far-voxel eviction across several frames."""
+    from vfmreg_tpu.kiss.mapping import VoxelHashMap
+
+    def run(device_resident):
+        m = VoxelHashMap(voxel_size=1.0, max_distance=30.0, max_points_per_voxel=5,
+                         use_native=False, device_resident=device_resident)
+        r = np.random.RandomState(0)
+        for i in range(4):
+            pose = np.eye(4)
+            pose[0, 3] = 12.0 * i
+            pts = np.c_[r.uniform(-10, 10, (800, 2)), r.uniform(0, 3, (800, 1))].astype(np.float32)
+            m.update(pts, pose)
+        return np.asarray(sorted(map(tuple, np.round(m.point_cloud(), 4).tolist())))
+
+    host = run(False)
+    dev = run(True)
+    assert host.shape == dev.shape, (host.shape, dev.shape)
+    np.testing.assert_allclose(dev, host, atol=1e-4)
+
+
+def test_device_resident_eviction(rng):
+    """Voxels whose first point leaves max_distance of the origin are evicted."""
+    from vfmreg_tpu.kiss.mapping import VoxelHashMap
+
+    m = VoxelHashMap(voxel_size=1.0, max_distance=10.0, use_native=False,
+                     device_resident=True)
+    near = np.array([[1.0, 0.0, 0.0], [2.0, 1.0, 0.0]], dtype=np.float32)
+    m.update(near, np.eye(4))
+    assert m.point_cloud().shape[0] == 2
+    far_pose = np.eye(4)
+    far_pose[0, 3] = 100.0
+    m.update(np.array([[0.5, 0.0, 0.0]], dtype=np.float32), far_pose)  # lands at 100.5
+    pc = m.point_cloud()
+    # Old voxels near the original origin are > 10 m from the new origin: evicted.
+    assert (np.linalg.norm(pc - far_pose[:3, 3], axis=1) <= 10.0).all()
+    assert pc.shape[0] == 1

@@ -42,6 +42,7 @@ class VoxelHashMap:
         max_distance: float,
         max_points_per_voxel: int = 20,
         use_native: Optional[bool] = None,
+        device_resident: Optional[bool] = None,
     ):
         self.voxel_size = float(voxel_size)
         self.max_distance = float(max_distance)
@@ -57,6 +58,12 @@ class VoxelHashMap:
             use_native = native_available()
         self._use_native = bool(use_native)
         self._native = None
+        # Device-resident incremental updates (odometry hot loop): the map stays
+        # on device and `update()` ships only the new frame across the link
+        # (`ops.hash_grid.extend_hash_grid`). Default: on when running on TPU —
+        # re-uploading the whole map each frame dominates there.
+        self._device_resident = device_resident
+        self._dev_count = 0
 
     def _native_map(self, dim: int):
         if self._native is None:
@@ -72,11 +79,14 @@ class VoxelHashMap:
         self._points = np.zeros((0, 3), dtype=np.float32)
         self._feats = None
         self._grid = None
+        self._dev_count = 0
         if self._native is not None:
             self._native.clear()
             self._native = None
 
     def empty(self) -> bool:
+        if self._dev_count > 0:
+            return False
         if self._use_native and self._native is not None:
             return len(self._native) == 0
         return self._points.shape[0] == 0
@@ -105,6 +115,10 @@ class VoxelHashMap:
         xyz, feats = self._split(points)
         if xyz.shape[0] == 0:
             return
+        if self._device_mode():
+            # AddPoints has no eviction (`VoxelHashMap.cpp:733-770`).
+            self._update_device(xyz, feats, np.zeros(3), evict=False)
+            return
         if self._use_native:
             dim = 0 if feats is None else feats.shape[1]
             nm = self._native_map(dim)
@@ -129,10 +143,96 @@ class VoxelHashMap:
         self._feats = feats
         self._grid = None
 
+    def _device_mode(self) -> bool:
+        if self._device_resident is None:
+            import jax
+
+            self._device_resident = jax.default_backend() == "tpu"
+        return self._device_resident
+
+    def _update_device(self, xyz: np.ndarray, feats: Optional[np.ndarray], origin: np.ndarray, evict: bool = True):
+        """One-dispatch merge + compact + evict on device (only the new frame
+        crosses the host-device link)."""
+        import jax.numpy as jnp
+
+        from vfmreg_tpu.ops.hash_grid import extend_hash_grid
+
+        n_new = xyz.shape[0]
+        if self._grid is None:
+            if self._points.shape[0] == 0 and self._dev_count == 0:
+                # First frame: plain padded build.
+                cap = bucket_size(max(n_new, 1))
+                pts = np.zeros((cap, 3), dtype=np.float32)
+                pts[:n_new] = xyz
+                mask = np.zeros((cap,), dtype=bool)
+                mask[:n_new] = True
+                jfeats = None
+                if feats is not None:
+                    f = np.zeros((cap, feats.shape[1]), dtype=np.float32)
+                    f[:n_new] = feats
+                    jfeats = jnp.asarray(f)
+                self._grid = build_hash_grid(
+                    jnp.asarray(pts),
+                    self.voxel_size,
+                    mask=jnp.asarray(mask),
+                    feats=jfeats,
+                    max_points_per_voxel=self.max_points_per_voxel,
+                    evict_origin=jnp.asarray(origin, dtype=jnp.float32) if evict else None,
+                    max_distance=self.max_distance,
+                )
+                self._dev_count = int(self._grid.num_points)
+                return
+            self.device_grid()  # host points -> device (one-time promotion)
+
+        total = self._dev_count + n_new
+        cap = bucket_size(max(total, 1))
+        m_old = self._grid.points.shape[0]
+        # Pad the new frame so old+new rows can hold `cap` compacted rows.
+        pad_to = max(bucket_size(max(n_new, 1)), cap - m_old)
+        pts = np.zeros((pad_to, 3), dtype=np.float32)
+        pts[:n_new] = xyz
+        mask = np.zeros((pad_to,), dtype=bool)
+        mask[:n_new] = True
+        jfeats = None
+        if self._grid.feats is not None:
+            f = np.zeros((pad_to, self._grid.feats.shape[1]), dtype=np.float32)
+            if feats is not None:
+                f[:n_new] = feats
+            jfeats = jnp.asarray(f)
+        self._grid = extend_hash_grid(
+            self._grid.points,
+            self._grid.valid,
+            self._grid.feats,
+            jnp.asarray(pts),
+            jnp.asarray(mask),
+            jfeats,
+            self.voxel_size,
+            jnp.asarray(origin, dtype=jnp.float32),
+            self.max_distance,
+            cap=cap,
+            max_points_per_voxel=self.max_points_per_voxel,
+            evict=evict,
+        )
+        self._dev_count = int(self._grid.num_points)
+
+    def _sync_from_device(self):
+        """Pull the device map back to host arrays (export/interop paths)."""
+        if self._grid is not None:
+            valid = np.asarray(self._grid.valid)
+            self._points = np.asarray(self._grid.points)[valid]
+            if self._grid.feats is not None:
+                self._feats = np.asarray(self._grid.feats)[valid]
+
     def update(self, points: np.ndarray, pose: np.ndarray = np.eye(4)):
         """Transform by pose, add, evict far voxels (`VoxelHashMap.cpp:678-731`)."""
         xyz, feats = self._split(points)
         pose = np.asarray(pose, dtype=np.float64)
+        if self._device_mode():
+            moved = (xyz.astype(np.float64) @ pose[:3, :3].T + pose[:3, 3]).astype(
+                np.float32
+            )
+            self._update_device(moved, feats, pose[:3, 3])
+            return
         if self._use_native:
             dim = 0 if feats is None else feats.shape[1]
             nm = self._native_map(dim)

@@ -94,12 +94,18 @@ def build_hash_grid(
     mask: Optional[jnp.ndarray] = None,
     feats: Optional[jnp.ndarray] = None,
     max_points_per_voxel: int = 20,
+    evict_origin: Optional[jnp.ndarray] = None,
+    max_distance=None,
 ) -> HashGrid:
     """Construct the grid from a padded point cloud.
 
     Semantics mirror `VoxelHashMap::AddPoints` (`VoxelHashMap.cpp:733-770`): voxel =
     trunc(p / voxel_size), at most `max_points_per_voxel` points kept per voxel in
-    insertion order.
+    insertion order. When `evict_origin`/`max_distance` are given, whole voxels
+    whose FIRST stored point lies farther than `max_distance` from the origin
+    are dropped (`RemovePointsFarFromLocation`, `VoxelHashMap.cpp:772-796`) —
+    their bucket count is zeroed so they never appear as NN candidates, and
+    their rows are marked invalid for exports/compaction.
     """
     n = points.shape[0]
     if mask is None:
@@ -131,6 +137,18 @@ def build_hash_grid(
     )
     bucket_count = jnp.minimum(bucket_total, max_points_per_voxel)
 
+    evict_pt = jnp.zeros((n,), dtype=bool)
+    if evict_origin is not None:
+        first_pt = pts_s[jnp.clip(bucket_start, 0, n - 1)]  # [n] per bucket slot
+        d2 = jnp.sum(
+            (first_pt - jnp.asarray(evict_origin, dtype=pts_s.dtype)) ** 2, axis=-1
+        )
+        evict_bucket = (d2 > jnp.square(jnp.asarray(max_distance, pts_s.dtype))) & (
+            bucket_total > 0
+        )
+        bucket_count = jnp.where(evict_bucket, 0, bucket_count)
+        evict_pt = evict_bucket[bucket_id] & mask_s
+
     # Unique hash per bucket (scatter the run-start hash).
     unique_hash = jnp.full((n,), INVALID_HASH, dtype=jnp.uint32).at[
         jnp.where(is_start, bucket_id, n - 1)
@@ -138,9 +156,10 @@ def build_hash_grid(
     # Note: the INVALID_HASH bucket (padding) may alias bucket n-1 when every row is
     # a distinct voxel; guard by re-deriving validity from count>0 at query time.
 
-    # Mark rows beyond the per-voxel cap invalid so exports skip them.
+    # Mark rows beyond the per-voxel cap (and evicted voxels) invalid so
+    # exports and compaction skip them.
     rank = row - bucket_start[bucket_id]
-    valid = mask_s & (rank < max_points_per_voxel)
+    valid = mask_s & (rank < max_points_per_voxel) & ~evict_pt
 
     # ----- open-addressing table over the bucket set ------------------------
     H = 1
@@ -209,6 +228,56 @@ def build_hash_grid(
         valid=valid,
         voxel_size=jnp.asarray(voxel_size, dtype=jnp.float32),
         max_points_per_voxel=max_points_per_voxel,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cap", "max_points_per_voxel", "evict"),
+)
+def extend_hash_grid(
+    old_points: jnp.ndarray,  # [M_old, 3]
+    old_valid: jnp.ndarray,  # [M_old]
+    old_feats: Optional[jnp.ndarray],  # [M_old, D] or None
+    new_points: jnp.ndarray,  # [M_new, 3] (already world-frame)
+    new_mask: jnp.ndarray,  # [M_new]
+    new_feats: Optional[jnp.ndarray],
+    voxel_size,
+    origin,  # [3] eviction origin (pose translation)
+    max_distance,
+    cap: int,
+    max_points_per_voxel: int = 20,
+    evict: bool = True,
+) -> HashGrid:
+    """Device-resident incremental map update: merge the stored (capped) points
+    with a new frame, compact to `cap` rows, rebuild the grid, and evict voxels
+    that left `max_distance` of `origin` — all in ONE dispatch with no host
+    round-trip of the map. This is what makes odometry TPU-native: per frame
+    only the new scan crosses the host-device link (the reference mutates a
+    host `tsl::robin_map` instead, `VoxelHashMap.cpp:678-770`).
+
+    Insertion-order semantics are preserved: old rows sort before new rows
+    (stable compaction), so the first-`max_points_per_voxel` cap and the
+    first-point eviction rule pick identical points to the reference.
+    """
+    pts = jnp.concatenate([old_points, new_points.astype(jnp.float32)])
+    mask = jnp.concatenate([old_valid, new_mask])
+    # Stable compaction: valid rows first, old before new.
+    order = jnp.argsort(~mask, stable=True)[:cap]
+    pts_c = pts[order]
+    mask_c = mask[order]
+    feats_c = None
+    if old_feats is not None:
+        feats = jnp.concatenate([old_feats, new_feats.astype(jnp.float32)])
+        feats_c = feats[order]
+    return build_hash_grid(
+        pts_c,
+        voxel_size,
+        mask=mask_c,
+        feats=feats_c,
+        max_points_per_voxel=max_points_per_voxel,
+        evict_origin=origin if evict else None,
+        max_distance=max_distance,
     )
 
 
