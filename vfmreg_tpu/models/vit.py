@@ -9,13 +9,14 @@ forward, with attention running through the Pallas flash-attention kernel on TPU
 Architecture (matches `transformers.Dinov2Model`, which matches
 facebookresearch/dinov2):
   patch conv (14x14/14) -> [cls] + patches + interpolated pos-embed
-(TPU matmuls run at the fast default precision: measured descriptor agreement
-vs CPU f32 is cosine >= 0.99998 on a 12-layer ViT-S forward — far inside the
-0.8 matching gate, so no precision pinning is needed here, unlike the
-registration core — see `utils/precision.py`.)
   -> 12 x { LN -> MHSA(qkv bias) -> LayerScale -> residual
             LN -> MLP(gelu exact) -> LayerScale -> residual }
   -> final LN.
+
+TPU matmuls run at the fast default precision: measured descriptor agreement
+vs CPU f32 is cosine >= 0.99998 on a 12-layer ViT-S forward — far inside the
+0.8 matching gate, so no precision pinning is needed here, unlike the
+registration core (see `utils/precision.py`).
 
 Weight conversion from both the transformers layout (separate q/k/v) and the
 facebook/FeatUp layout (fused qkv) is provided; parity is tested against
