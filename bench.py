@@ -103,4 +103,16 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    # The shared remote chip's free HBM fluctuates; a transient
+    # RESOURCE_EXHAUSTED at a workload that normally fits deserves a retry
+    # before failing the recorded benchmark.
+    for attempt in range(3):
+        try:
+            main()
+            break
+        except Exception as e:  # jax.errors.JaxRuntimeError lacks a stable import path
+            if "RESOURCE_EXHAUSTED" in str(e) and attempt < 2:
+                print(f"transient RESOURCE_EXHAUSTED, retrying ({attempt + 1}/2)", file=sys.stderr)
+                time.sleep(20)
+                continue
+            raise
