@@ -258,3 +258,25 @@ def test_device_resident_eviction(rng):
     # Old voxels near the original origin are > 10 m from the new origin: evicted.
     assert (np.linalg.norm(pc - far_pose[:3, 3], axis=1) <= 10.0).all()
     assert pc.shape[0] == 1
+
+
+def test_device_resident_map_with_descriptors(rng):
+    """Descriptor columns ride along through device-resident updates."""
+    from vfmreg_tpu.kiss.mapping import VoxelHashMap
+
+    def run(device_resident):
+        m = VoxelHashMap(voxel_size=1.0, max_distance=50.0, max_points_per_voxel=4,
+                         use_native=False, device_resident=device_resident)
+        r = np.random.RandomState(1)
+        for i in range(3):
+            pose = np.eye(4)
+            pose[1, 3] = 2.0 * i
+            xyz = r.uniform(-8, 8, (300, 3)).astype(np.float32)
+            feats = np.tanh(xyz @ r.normal(size=(3, 6)).astype(np.float32))
+            m.update(np.c_[xyz, feats], pose)
+        return m.point_cloud_n()
+
+    host = np.asarray(sorted(map(tuple, np.round(run(False), 4).tolist())))
+    dev = np.asarray(sorted(map(tuple, np.round(run(True), 4).tolist())))
+    assert host.shape == dev.shape
+    np.testing.assert_allclose(dev, host, atol=1e-4)
