@@ -64,6 +64,7 @@ class VoxelHashMap:
         # re-uploading the whole map each frame dominates there.
         self._device_resident = device_resident
         self._dev_count = 0
+        self._dev_count_pending = None  # device scalar, resolved lazily (lag-1)
 
     def _native_map(self, dim: int):
         if self._native is None:
@@ -80,11 +81,20 @@ class VoxelHashMap:
         self._feats = None
         self._grid = None
         self._dev_count = 0
+        self._dev_count_pending = None
         if self._native is not None:
             self._native.clear()
             self._native = None
 
+    def _resolve_count(self) -> None:
+        if self._dev_count_pending is not None:
+            # By the time the next frame arrives the scalar is long computed;
+            # this is a ~4-byte pull, not a pipeline stall.
+            self._dev_count = int(self._dev_count_pending)
+            self._dev_count_pending = None
+
     def empty(self) -> bool:
+        self._resolve_count()
         if self._dev_count > 0:
             return False
         if self._use_native and self._native is not None:
@@ -180,10 +190,12 @@ class VoxelHashMap:
                     evict_origin=jnp.asarray(origin, dtype=jnp.float32) if evict else None,
                     max_distance=self.max_distance,
                 )
-                self._dev_count = int(self._grid.num_points)
+                self._dev_count_pending = self._grid.num_points
                 return
             self.device_grid()  # host points -> device (one-time promotion)
+            self._dev_count = int(self._points.shape[0])
 
+        self._resolve_count()
         total = self._dev_count + n_new
         cap = bucket_size(max(total, 1))
         m_old = self._grid.points.shape[0]
@@ -213,7 +225,7 @@ class VoxelHashMap:
             max_points_per_voxel=self.max_points_per_voxel,
             evict=evict,
         )
-        self._dev_count = int(self._grid.num_points)
+        self._dev_count_pending = self._grid.num_points
 
     def _sync_from_device(self):
         """Pull the device map back to host arrays (export/interop paths)."""
