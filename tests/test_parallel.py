@@ -1,0 +1,90 @@
+"""Device-mesh parallel registration on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from scipy.spatial.transform import Rotation as R
+
+from vfmreg_tpu.geometry.se3 import inverse_se3, transform_points
+from vfmreg_tpu.parallel.mesh import (
+    batched_registration_step,
+    make_mesh,
+    sharded_ransac,
+    sharded_registration_step,
+)
+
+
+def _make_pairs(rng, b, m, n, d=16):
+    map_pts = np.zeros((b, m, 3), np.float32)
+    map_feats = np.zeros((b, m, d), np.float32)
+    scan_pts = np.zeros((b, n, 3), np.float32)
+    scan_feats = np.zeros((b, n, d), np.float32)
+    poses = []
+    for i in range(b):
+        pts = np.c_[rng.uniform(-20, 20, (m, 2)), rng.uniform(0, 5, (m, 1))].astype(np.float32)
+        feats = np.sin(pts @ rng.normal(size=(3, d)).astype(np.float32) * 0.2)
+        T = np.eye(4, dtype=np.float32)
+        T[:3, :3] = R.from_euler("z", rng.uniform(-20, 20), degrees=True).as_matrix()
+        T[:3, 3] = [rng.uniform(-3, 3), rng.uniform(-3, 3), 0.1]
+        sel = rng.choice(m, n, replace=False)
+        scan = np.asarray(
+            transform_points(jnp.asarray(pts[sel]), inverse_se3(jnp.asarray(T)))
+        )
+        map_pts[i], map_feats[i] = pts, feats
+        scan_pts[i], scan_feats[i] = scan, feats[sel]
+        poses.append(T)
+    masks_m = np.ones((b, m), bool)
+    masks_n = np.ones((b, n), bool)
+    return map_pts, map_feats, masks_m, scan_pts, scan_feats, masks_n, poses
+
+
+def test_batched_registration(rng):
+    b, m, n = 2, 1024, 256
+    mp, mf, mm, sp, sf, sm, poses = _make_pairs(rng, b, m, n)
+    got, counts = batched_registration_step(
+        jnp.asarray(mp), jnp.asarray(mf), jnp.asarray(mm),
+        jnp.asarray(sp), jnp.asarray(sf), jnp.asarray(sm),
+    )
+    for i in range(b):
+        err = np.linalg.norm(np.asarray(got[i])[:3, 3] - poses[i][:3, 3])
+        assert err < 0.1, (i, err)
+    assert (np.asarray(counts) > 0).all()
+
+
+def test_sharded_registration(rng):
+    mesh = make_mesh()
+    b = len(jax.devices())
+    mp, mf, mm, sp, sf, sm, poses = _make_pairs(rng, b, 512, 128)
+    step = sharded_registration_step(mesh)
+    got, counts, total = step(
+        jnp.asarray(mp), jnp.asarray(mf), jnp.asarray(mm),
+        jnp.asarray(sp), jnp.asarray(sf), jnp.asarray(sm),
+    )
+    assert int(total) == int(np.asarray(counts).sum())
+    for i in range(b):
+        err = np.linalg.norm(np.asarray(got[i])[:3, 3] - poses[i][:3, 3])
+        assert err < 0.1, (i, err)
+
+
+def test_sharded_ransac_matches_single_device(rng):
+    mesh = make_mesh()
+    n = 256
+    src = np.c_[rng.uniform(-10, 10, (n, 2)), rng.uniform(0, 3, (n, 1))].astype(np.float32)
+    T = np.eye(4, dtype=np.float32)
+    T[:3, :3] = R.from_euler("z", 25, degrees=True).as_matrix()
+    T[:3, 3] = [2.0, -1.0, 0.2]
+    tgt = src @ T[:3, :3].T + T[:3, 3]
+    # 25% outliers
+    n_out = n // 4
+    tgt[:n_out] = rng.uniform(-10, 10, (n_out, 3))
+    mask = np.ones(n, bool)
+
+    run = sharded_ransac(mesh, num_hypotheses=2048, chunk=256)
+    pose, rmse = run(jnp.asarray(src), jnp.asarray(tgt), jnp.asarray(mask),
+                     jax.random.PRNGKey(0))
+    pose = np.asarray(pose)
+    # The all-inlier min-RMSE objective (o3d parity) finds a model whose RMSE
+    # is no worse than the true pose's RMSE over the contaminated set.
+    true_rmse = np.sqrt(np.mean(np.sum((src @ T[:3, :3].T + T[:3, 3] - tgt) ** 2, -1)))
+    assert float(rmse) <= true_rmse + 1e-4
+    assert np.isfinite(pose).all()

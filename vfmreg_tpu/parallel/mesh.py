@@ -90,3 +90,44 @@ def sharded_registration_step(mesh: Mesh):
         return poses, counts, total
 
     return jax.jit(step)
+
+
+def sharded_ransac(mesh: Mesh, num_hypotheses: int = 50000, chunk: int = 1024):
+    """RANSAC with the hypothesis budget sharded over the mesh's `data` axis.
+
+    Each device scores `ceil(num_hypotheses / n_devices)` 3-point Kabsch models
+    against the (replicated) correspondence set, then the global min-RMSE model
+    is selected with `pmin` + a masked `psum` broadcast — the SURVEY §5
+    "RANSAC hypothesis blocks over a 1-D mesh with psum reductions" layout.
+    Returns a jitted `f(src [N,3], tgt [N,3], mask [N], key) -> (pose, rmse)`.
+    """
+    from vfmreg_tpu.registration.ransac import ransac_registration
+
+    n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    per_dev = -(-num_hypotheses // n_dev)
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P("data")),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    def step(src, tgt, mask, key_data):
+        key = jax.random.wrap_key_data(key_data[0])
+        res = ransac_registration(
+            src, tgt, mask, key, num_hypotheses=per_dev, chunk=chunk
+        )
+        best = jax.lax.pmin(res.rmse, "data")
+        idx = jax.lax.axis_index("data")
+        winner = jax.lax.pmin(jnp.where(res.rmse == best, idx, n_dev), "data")
+        pose = jax.lax.psum(
+            jnp.where(idx == winner, res.pose, jnp.zeros_like(res.pose)), "data"
+        )
+        return pose, best
+
+    def run(src, tgt, mask, key):
+        keys = jax.random.key_data(jax.random.split(key, n_dev))
+        return step(src, tgt, mask, keys)
+
+    return jax.jit(run)
