@@ -161,7 +161,7 @@ def test_nn_kernel_matches_fallback(rng):
     q = jnp.asarray(rng.uniform(-10, 10, (130, 3)).astype(np.float32))
     grid = build_hash_grid(pts, 1.0)
     cands = gather_candidate_slabs(grid, q)
-    cache = build_nn_cache(cands)
+    cache = build_nn_cache(cands, q)
 
     d2_k, k_k = nn_argmin(cache.cx, cache.cy, cache.cz, q, block_q=64, interpret=True)
 

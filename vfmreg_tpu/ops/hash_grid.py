@@ -31,10 +31,12 @@ from vfmreg_tpu.ops.voxel import INVALID_HASH, voxel_coords, voxel_hash
 
 
 # Open-addressing probe budget: table capacity is 4x the bucket budget (load
-# <= 0.25), where 8 linear probes virtually never miss; buckets that lose all
+# <= 0.25), where 7 linear probes virtually never miss; buckets that lose all
 # insert rounds are unreachable (points drop out of NN candidates — negligible
-# probability at this load).
-_PROBES = 8
+# probability at this load). 7 (not 8) because lookups read ONE packed
+# stride-2 row of 8 slots, which covers only 7 probe positions when the base
+# slot is odd.
+_PROBES = 7
 
 # Points are additionally exposed as G-row "slabs" so candidate gathers fetch
 # whole bucket runs in a few wide rows instead of per-point rows (the TPU
@@ -195,20 +197,19 @@ def build_hash_grid(
     table_hash, table_start, table_count, _ = jax.lax.fori_loop(
         0, _PROBES, insert_round, (table_hash, table_start, table_count, pending0)
     )
-    # Pack (hash, start, count) into one row so each probe round is a single
-    # wide gather (keeping them separate exploded into hundreds of transposed
-    # gathers in the optimized HLO), and pair each slot with its linear-probe
-    # successor — one [H, 8] row serves TWO probe slots, halving probe rounds.
-    t4 = jnp.stack(
-        [
-            table_hash[:H].astype(jnp.int32),
-            table_start[:H],
-            table_count[:H],
-            jnp.zeros((H,), dtype=jnp.int32),
-        ],
-        axis=1,
-    )
-    table = jnp.concatenate([t4, jnp.roll(t4, -1, axis=0)], axis=1)
+    # Pack the WHOLE probe window into one row: row r of the [H/2, 24] table
+    # holds the (hash, start, count) triples of slots 2r .. 2r+7 (wrapping).
+    # A lookup then needs a single wide gather — row (base >> 1) covers >= 7
+    # probe positions from any base slot — instead of one gather per probe
+    # round (the gather unit is row-rate-bound, so the 4x fewer rows is a
+    # direct 4x on the table-lookup phase of a candidate refresh).
+    th = table_hash[:H].astype(jnp.int32)
+    ts = table_start[:H]
+    tc = table_count[:H]
+    cols = []
+    for j in range(8):
+        cols += [jnp.roll(th, -j)[0::2], jnp.roll(ts, -j)[0::2], jnp.roll(tc, -j)[0::2]]
+    table = jnp.stack(cols, axis=1)  # [H/2, 24]
 
     del start_of_bucket
     return HashGrid(
@@ -290,28 +291,26 @@ _NEIGHBOR_OFFSETS = jnp.array(
 def _lookup_buckets(grid: HashGrid, h: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """hash -> (bucket_start, bucket_count); count==0 when the voxel is absent.
 
-    Linear-probing table lookup: `_PROBES` unrolled rounds, ONE wide gather of
-    the packed (hash, start, count) row per round, flat index layout."""
-    H = grid.table.shape[0]
+    Linear-probing table lookup: ONE wide gather of the packed stride-2 row
+    (8 slots' (hash, start, count) triples) covers the whole 7-probe window."""
+    H = 2 * grid.table.shape[0]
     shape = h.shape
     hf = h.reshape(-1)
     base = (hf & jnp.uint32(H - 1)).astype(jnp.int32)
+    h_s32 = hf.astype(jnp.int32)
+
+    row = grid.table[base >> 1]  # [Q, 24]: slots (base & ~1) .. +7
+    # Probe priority = ascending slot order. For an odd base the j=0 triple is
+    # slot base-1, which can never hold `h` (its displacement would be -1 mod
+    # H > probe budget), so scanning all 8 triples in order is safe.
     start = jnp.zeros(hf.shape, dtype=jnp.int32)
     count = jnp.zeros(hf.shape, dtype=jnp.int32)
     found = jnp.zeros(hf.shape, dtype=bool)
-    h_s32 = hf.astype(jnp.int32)
-
-    for r in range(0, _PROBES, 2):
-        slot = (base + r) & (H - 1)
-        row = grid.table[slot]  # [Q, 8] packed gather covering slots r and r+1
-        hit0 = (row[:, 0] == h_s32) & ~found
-        start = jnp.where(hit0, row[:, 1], start)
-        count = jnp.where(hit0, row[:, 2], count)
-        found = found | hit0
-        hit1 = (row[:, 4] == h_s32) & ~found
-        start = jnp.where(hit1, row[:, 5], start)
-        count = jnp.where(hit1, row[:, 6], count)
-        found = found | hit1
+    for j in range(8):
+        hit = (row[:, 3 * j] == h_s32) & ~found
+        start = jnp.where(hit, row[:, 3 * j + 1], start)
+        count = jnp.where(hit, row[:, 3 * j + 2], count)
+        found = found | hit
     valid = found & (hf != INVALID_HASH)
     return start.reshape(shape), jnp.where(valid, count, 0).reshape(shape)
 
@@ -450,46 +449,77 @@ def nn_from_slabs(
 
 
 class NNCache(NamedTuple):
-    """Kernel-ready SoA view of a `Candidates` set: one [N, K_pad] array per
-    coordinate (invalid candidates carry the `INVALID_COORD` sentinel whose
-    squared distances overflow to +inf — no separate mask array to stream)
-    plus the [N, 27] bucket starts for winner-row reconstruction. Built ONCE
-    per candidate refresh; every cached-NN iteration then streams just the
-    three coordinate arrays in a single fused pass
-    (`ops.nn_kernel.nn_argmin` on TPU)."""
+    """Compact per-voxel-champion candidate cache.
 
-    cx: jnp.ndarray
+    At refresh time the 27-voxel candidate set is reduced to ONE champion per
+    neighbor voxel — the in-voxel nearest point to the query's CURRENT
+    position. The global NN is the min over champions, so the first cached-NN
+    resolve after a refresh is EXACT; between refreshes the champion set is an
+    approximation of the same class as the 27-voxel slack itself (both assume
+    sub-voxel inter-refresh motion; `refresh_interval=1` restores exact
+    per-iteration semantics). This cuts the per-iteration stream from
+    [N, 27*slabs*G] lanes to [N, 32] — the dominant cost of a GN iteration.
+
+    Coordinates carry the `INVALID_COORD` sentinel in dead lanes (squared
+    distances overflow to +inf — no mask array to stream); `rows` maps each
+    champion back to its row in `grid.points`."""
+
+    cx: jnp.ndarray  # [N, 32] f32 (27 champions + sentinel pad)
     cy: jnp.ndarray
     cz: jnp.ndarray
-    start: jnp.ndarray  # [N, 27]
-    n_slabs: int  # static: slabs per bucket
+    rows: jnp.ndarray  # [N, 32] i32
 
 
-def build_nn_cache(cands: Candidates) -> NNCache:
+def build_nn_cache(
+    cands: Candidates,
+    queries: jnp.ndarray,
+    query_mask: Optional[jnp.ndarray] = None,
+) -> NNCache:
+    """Reduce gathered slab candidates to per-voxel champions (see NNCache)."""
     from vfmreg_tpu.ops.nn_kernel import INVALID_COORD
 
     n, _, n_slabs, _ = cands.slabs.shape
     G = _SLAB
-    soa = cands.slabs.reshape(n, -1, 3, G)  # [N, R, 3, G]
-    flat = soa.swapaxes(1, 2).reshape(n, 3, -1)  # [N, 3, K]
-    flat = jnp.where(cands.ok()[:, None, :], flat, jnp.float32(INVALID_COORD))
-    # Pad K to a lane multiple HERE (once per refresh) so every cached-NN
-    # iteration streams the arrays as-is.
-    pad = (-flat.shape[-1]) % 128
-    flat = jnp.pad(flat, ((0, 0), (0, 0), (0, pad)), constant_values=INVALID_COORD)
+    if query_mask is None:
+        query_mask = jnp.ones((n,), dtype=bool)
+
+    slabs = cands.slabs  # [N, 27, S, 3G], rows [x0..x_{G-1}, y.., z..]
+    dx = slabs[..., 0 * G : 1 * G] - queries[:, None, None, 0:1]
+    dy = slabs[..., 1 * G : 2 * G] - queries[:, None, None, 1:2]
+    dz = slabs[..., 2 * G : 3 * G] - queries[:, None, None, 2:3]
+    d2 = (dx * dx + dy * dy + dz * dz).reshape(n, 27, n_slabs * G)
+
+    rows = cands._rows()  # [N, 27, S*G]
+    ok = (rows >= cands.start[..., None]) & (rows < (cands.start + cands.count)[..., None])
+    d2 = jnp.where(ok, d2, jnp.float32(jnp.inf))
+
+    k = jnp.argmin(d2, axis=-1)  # ties -> lowest candidate index
+    best_d2 = jnp.take_along_axis(d2, k[..., None], axis=-1)[..., 0]  # [N, 27]
+    brow = jnp.take_along_axis(rows, k[..., None], axis=-1)[..., 0]  # [N, 27]
+
+    alive = jnp.isfinite(best_d2) & query_mask[:, None]
+    pad = jnp.full((n, 32 - 27), jnp.float32(INVALID_COORD))
+    ipad = jnp.zeros((n, 32 - 27), dtype=jnp.int32)
+
     return NNCache(
-        cx=flat[:, 0], cy=flat[:, 1], cz=flat[:, 2], start=cands.start, n_slabs=n_slabs
+        cx=jnp.concatenate([jnp.where(alive, _champ_coord(cands, brow, 0), jnp.float32(INVALID_COORD)), pad], axis=1),
+        cy=jnp.concatenate([jnp.where(alive, _champ_coord(cands, brow, 1), jnp.float32(INVALID_COORD)), pad], axis=1),
+        cz=jnp.concatenate([jnp.where(alive, _champ_coord(cands, brow, 2), jnp.float32(INVALID_COORD)), pad], axis=1),
+        rows=jnp.concatenate([brow, ipad], axis=1),
     )
 
 
-def _cache_row_from_k(cache: NNCache, best_k: jnp.ndarray) -> jnp.ndarray:
-    """Candidate index -> global row in `grid.points` (tiny [N, 27] lookup)."""
+def _champ_coord(cands: Candidates, brow: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Champion coordinate from the already-gathered slabs (no HBM re-gather).
+
+    `brow` is a global row id; within this candidate set it lives in slab
+    (brow >> shift) - slab0 of its voxel, lane brow & (G-1)."""
     G = _SLAB
-    per_bucket = cache.n_slabs * G
-    o = jnp.minimum(best_k // per_bucket, 26)  # lane padding can't win, but clamp
-    within = best_k % per_bucket
-    start_sel = jnp.take_along_axis(cache.start, o[:, None], axis=1)[:, 0]
-    return (start_sel >> _SLAB_SHIFT) * G + within
+    slab0 = cands.start >> _SLAB_SHIFT  # [N, 27]
+    s = jnp.clip((brow >> _SLAB_SHIFT) - slab0, 0, cands.slabs.shape[2] - 1)
+    lane = (brow & (G - 1)) + axis * G
+    picked = jnp.take_along_axis(cands.slabs, s[..., None, None], axis=2)[:, :, 0, :]
+    return jnp.take_along_axis(picked, lane[..., None], axis=-1)[..., 0]
 
 
 def nn_from_cache(
@@ -498,26 +528,29 @@ def nn_from_cache(
     queries: jnp.ndarray,
     query_mask: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Closest cached candidate per query — fused Pallas path on TPU, jnp
-    elsewhere. Same contract as `nn_from_slabs`."""
+    """Closest cached champion per query. Same contract as `nn_from_slabs`;
+    exact at the refresh position, champion-approximate after motion."""
     n = queries.shape[0]
     if query_mask is None:
         query_mask = jnp.ones((n,), dtype=bool)
-    if jax.default_backend() == "tpu":
-        from vfmreg_tpu.ops.nn_kernel import nn_argmin
-
-        best_d2, best_k = nn_argmin(cache.cx, cache.cy, cache.cz, queries)
-    else:
-        qx, qy, qz = queries[:, 0:1], queries[:, 1:2], queries[:, 2:3]
-        d2 = (cache.cx - qx) ** 2 + (cache.cy - qy) ** 2 + (cache.cz - qz) ** 2
-        best_d2 = jnp.min(d2, axis=-1)
-        iota = jnp.arange(d2.shape[-1], dtype=jnp.int32)[None, :]
-        best_k = jnp.min(
-            jnp.where(d2 == best_d2[:, None], iota, jnp.int32(2**30)), axis=-1
-        )
+    qx, qy, qz = queries[:, 0:1], queries[:, 1:2], queries[:, 2:3]
+    d2 = (cache.cx - qx) ** 2 + (cache.cy - qy) ** 2 + (cache.cz - qz) ** 2
+    best_d2 = jnp.min(d2, axis=-1)
+    iota = jnp.arange(d2.shape[-1], dtype=jnp.int32)[None, :]
+    best_k = jnp.min(
+        jnp.where(d2 == best_d2[:, None], iota, jnp.int32(2**30)), axis=-1
+    )
+    ksel = jnp.minimum(best_k, d2.shape[-1] - 1)[:, None]
+    best_pt = jnp.concatenate(
+        [
+            jnp.take_along_axis(cache.cx, ksel, axis=1),
+            jnp.take_along_axis(cache.cy, ksel, axis=1),
+            jnp.take_along_axis(cache.cz, ksel, axis=1),
+        ],
+        axis=1,
+    )
     found = jnp.isfinite(best_d2) & query_mask
-    best_row = _cache_row_from_k(cache, jnp.minimum(best_k, cache.cx.shape[1] - 1))
-    best_pt = grid_points[jnp.clip(best_row, 0, grid_points.shape[0] - 1)]
+    best_pt = jnp.where(found[:, None], best_pt, 0.0)
     inf = jnp.float32(jnp.inf)
     return best_pt, jnp.sqrt(jnp.where(found, best_d2, inf)), found
 

@@ -56,6 +56,7 @@ class _ICPState(NamedTuple):
     dx_norm: jnp.ndarray  # scalar
     it: jnp.ndarray  # scalar int32
     done: jnp.ndarray  # scalar bool (no-correspondence early exit)
+    confirmed: jnp.ndarray  # scalar bool (convergence validated on a FRESH cache)
 
 
 def build_linear_system(
@@ -119,25 +120,48 @@ def geometric_icp_loop(
 ):
     """Shared geometric GN loop (used by plain ICP and VFM-ICP phase 2).
 
-    Outer `while_loop` refreshes the 27-voxel candidate cache; an inner
-    fixed-length `scan` runs `refresh_interval` GN iterations against the
-    cached candidates with converged/done iterations masked to no-ops —
-    termination picks the same iterate as a per-iteration-checked loop.
+    Outer `while_loop` refreshes the per-voxel-champion candidate cache; an
+    inner fixed-length `scan` runs up to `refresh_interval` GN iterations
+    against the cached champions with converged/done iterations masked to
+    no-ops — termination picks the same iterate as a per-iteration-checked
+    loop. Two guards make the champion cache safe:
+
+    * MOTION BOUND — each iteration adds a bound on how far any source point
+      moved (|dt| + |omega| * r_max); once the accumulated motion since the
+      refresh exceeds half a voxel the remaining inner iterations no-op so the
+      outer loop re-gathers. Large-step (coarse) phases therefore refresh
+      nearly every iteration — the regime where any cached candidate set is
+      stale — while converged phases run many cheap champion-only iterations.
+    * FRESH-CONFIRMED TERMINATION — |dx| < threshold only terminates the loop
+      when it happens on the FIRST iteration after a refresh (exact-NN
+      iteration). A sub-threshold step against stale champions instead ends
+      the inner scan, the cache refreshes, and convergence is re-checked
+      fresh — so the loop can never settle on a stale-cache fixed point.
     """
 
     def cond(state: _ICPState):
-        return (
-            (state.it < max_iterations)
-            & (state.dx_norm >= estimation_threshold)
-            & ~state.done
-        )
+        return (state.it < max_iterations) & ~state.done & ~state.confirmed
+
+    # Lever arm for the rotational part of the per-iteration motion bound.
+    d2_from_center = jnp.sum(jnp.square(source0 - center), axis=-1)
+    r_max = jnp.sqrt(jnp.max(jnp.where(mask, d2_from_center, 0.0)))
+    slack = 0.5 * grid.voxel_size
 
     def body(state: _ICPState) -> _ICPState:
-        cache = build_nn_cache(gather_candidate_slabs(grid, state.source, mask))
+        cache = build_nn_cache(
+            gather_candidate_slabs(grid, state.source, mask), state.source, mask
+        )
 
-        def inner(carry, _):
-            source, T_icp, dx_norm, it, done = carry
-            active = (it < max_iterations) & (dx_norm >= estimation_threshold) & ~done
+        def inner(carry, s):
+            source, T_icp, dx_norm, it, done, confirmed, moved = carry
+            fresh = s == 0
+            active = (
+                (it < max_iterations)
+                & ~done
+                & ~confirmed
+                & (moved < slack)
+                & (fresh | (dx_norm >= estimation_threshold))
+            )
             nbr, dist, found = nn_from_cache(cache, grid.points, source, mask)
             accept = found & (dist < max_dist)
             JTJ, JTr, n_corr = build_linear_system(source, nbr, accept, kernel, center)
@@ -145,20 +169,33 @@ def geometric_icp_loop(
             est_world = _conjugate_translation(exp_se3(dx), center)
             new_source = transform_points(source, est_world)
             new_T = est_world @ T_icp
+            new_dx_norm = jnp.linalg.norm(dx)
             source = jnp.where(active, new_source, source)
             T_icp = jnp.where(active, new_T, T_icp)
-            dx_norm = jnp.where(active, jnp.linalg.norm(dx), dx_norm)
+            dx_norm = jnp.where(active, new_dx_norm, dx_norm)
+            confirmed = confirmed | (
+                active & fresh & (new_dx_norm < estimation_threshold)
+            )
+            step_bound = jnp.linalg.norm(dx[:3]) + jnp.linalg.norm(dx[3:]) * r_max
+            moved = moved + jnp.where(active, step_bound, 0.0)
             done = done | (active & (n_corr == 0))
             it = it + active.astype(jnp.int32)
-            return (source, T_icp, dx_norm, it, done), None
+            return (source, T_icp, dx_norm, it, done, confirmed, moved), None
 
-        (source, T_icp, dx_norm, it, done), _ = jax.lax.scan(
+        (source, T_icp, dx_norm, it, done, confirmed, _), _ = jax.lax.scan(
             inner,
-            (state.source, state.T_icp, state.dx_norm, state.it, state.done),
-            None,
-            length=refresh_interval,
+            (
+                state.source,
+                state.T_icp,
+                state.dx_norm,
+                state.it,
+                state.done,
+                state.confirmed,
+                jnp.float32(0.0),
+            ),
+            jnp.arange(refresh_interval, dtype=jnp.int32),
         )
-        return _ICPState(source, T_icp, dx_norm, it, done)
+        return _ICPState(source, T_icp, dx_norm, it, done, confirmed)
 
     init = _ICPState(
         source=source0,
@@ -166,6 +203,7 @@ def geometric_icp_loop(
         dx_norm=jnp.float32(jnp.inf),
         it=jnp.asarray(it0, dtype=jnp.int32),
         done=jnp.asarray(False),
+        confirmed=jnp.asarray(False),
     )
     return jax.lax.while_loop(cond, body, init)
 
