@@ -52,9 +52,6 @@ _SLAB_SHIFT = _SLAB.bit_length() - 1
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=[
-        "unique_hash",
-        "bucket_start",
-        "bucket_count",
         "table",
         "points",
         "points_slab",
@@ -69,15 +66,12 @@ class HashGrid:
     """Sorted-bucket voxel grid. All arrays are padded to static capacities.
 
     Lookups go through a linear-probing open-addressing table (`table`,
-    capacity 4x the point budget, packed (hash, start, count) rows) —
-    `_PROBES` single-gather rounds per query; the sorted arrays remain the
+    capacity 4x the point budget, packed (hash, start, count) rows) — ONE
+    wide gather covers the whole probe window; the sorted arrays remain the
     bucket-grouping backbone and exact export order.
     """
 
-    unique_hash: jnp.ndarray  # [U] uint32, ascending; padding = INVALID_HASH
-    bucket_start: jnp.ndarray  # [U] int32 index into `points`
-    bucket_count: jnp.ndarray  # [U] int32, clipped to max_points_per_voxel
-    table: jnp.ndarray  # [H, 8] int32: packed (hash, start, count, 0) for slot i and i+1
+    table: jnp.ndarray  # [H/2, 24] int32: packed (hash, start, count) x 8 slots
     points: jnp.ndarray  # [M, 3] f32, sorted by voxel hash
     points_slab: jnp.ndarray  # [M/_SLAB, _SLAB*3] f32 slab view of `points`
     feats: Optional[jnp.ndarray]  # [M, D] f32 or None
@@ -123,99 +117,80 @@ def build_hash_grid(
     feats_s = feats[order] if feats is not None else None
 
     is_start = jnp.concatenate([jnp.ones((1,), dtype=bool), h_s[1:] != h_s[:-1]]) & mask_s
-    # Bucket id per point (0-based over valid buckets; padding rows map past the end).
-    bucket_id = jnp.cumsum(is_start.astype(jnp.int32)) - 1
-    bucket_id = jnp.where(mask_s, bucket_id, n - 1)
 
+    # Scatter-free CSR: the construction is all sorts and associative scans —
+    # TPU scatters serialize at ~20 ms per 524k-update op, while a 524k sort is
+    # ~16 ms and a scan is sub-ms, so the scan form is ~10x faster end to end.
     row = jnp.arange(n, dtype=jnp.int32)
-    start_of_bucket = jnp.where(is_start, row, n)
-    # CSR: scatter-min of row index per bucket.
-    bucket_start = jnp.full((n,), n, dtype=jnp.int32).at[bucket_id].min(
-        jnp.where(mask_s, row, n)
+    # Per-point bucket start: carry the last run-start row forward.
+    start_pp = jax.lax.associative_scan(jnp.maximum, jnp.where(is_start, row, -1))
+    # Per-point bucket end (exclusive): the next run start strictly after me.
+    nxt = jax.lax.associative_scan(
+        jnp.minimum, jnp.where(is_start, row, n), reverse=True
     )
-    # Count per bucket.
-    bucket_total = jnp.zeros((n,), dtype=jnp.int32).at[bucket_id].add(
-        mask_s.astype(jnp.int32)
-    )
-    bucket_count = jnp.minimum(bucket_total, max_points_per_voxel)
+    end_pp = jnp.concatenate([nxt[1:], jnp.full((1,), n, dtype=jnp.int32)])
+    count_pp = jnp.minimum(end_pp - start_pp, max_points_per_voxel)
 
     evict_pt = jnp.zeros((n,), dtype=bool)
     if evict_origin is not None:
-        first_pt = pts_s[jnp.clip(bucket_start, 0, n - 1)]  # [n] per bucket slot
+        # First stored point of each bucket (one n-row gather; evict-only cost).
+        first_pt = pts_s[jnp.clip(start_pp, 0, n - 1)]
         d2 = jnp.sum(
             (first_pt - jnp.asarray(evict_origin, dtype=pts_s.dtype)) ** 2, axis=-1
         )
-        evict_bucket = (d2 > jnp.square(jnp.asarray(max_distance, pts_s.dtype))) & (
-            bucket_total > 0
-        )
-        bucket_count = jnp.where(evict_bucket, 0, bucket_count)
-        evict_pt = evict_bucket[bucket_id] & mask_s
-
-    # Unique hash per bucket (scatter the run-start hash).
-    unique_hash = jnp.full((n,), INVALID_HASH, dtype=jnp.uint32).at[
-        jnp.where(is_start, bucket_id, n - 1)
-    ].min(jnp.where(is_start, h_s, INVALID_HASH))
-    # Note: the INVALID_HASH bucket (padding) may alias bucket n-1 when every row is
-    # a distinct voxel; guard by re-deriving validity from count>0 at query time.
+        evict_pt = (d2 > jnp.square(jnp.asarray(max_distance, pts_s.dtype))) & mask_s
+        count_pp = jnp.where(evict_pt, 0, count_pp)
 
     # Mark rows beyond the per-voxel cap (and evicted voxels) invalid so
     # exports and compaction skip them.
-    rank = row - bucket_start[bucket_id]
+    rank = row - start_pp
     valid = mask_s & (rank < max_points_per_voxel) & ~evict_pt
 
     # ----- open-addressing table over the bucket set ------------------------
+    # Linear-probing placement WITHOUT per-round scatter competition: sort the
+    # buckets by base slot, then the classic parking-function identity gives
+    # every displacement in one scan — placed_k = k + cummax_k(base_k - k) for
+    # base-sorted buckets. Buckets displaced past the probe window or past the
+    # table end (no wraparound) are dropped, i.e. unreachable as NN candidates
+    # — same failure class as the old bounded-round insert, negligible at
+    # load <= 0.25.
     H = 1
     while H < 4 * n:
         H *= 2
-    table_hash = jnp.full((H + 1,), INVALID_HASH, dtype=jnp.uint32)
-    table_start = jnp.zeros((H + 1,), dtype=jnp.int32)
-    table_count = jnp.zeros((H + 1,), dtype=jnp.int32)
+    base = (h_s & jnp.uint32(H - 1)).astype(jnp.int32)
+    key2 = jnp.where(is_start, base, H)  # non-starts sort last
+    order2 = jnp.argsort(key2, stable=True)
+    bs = key2[order2]
+    placed = row + jax.lax.associative_scan(jnp.maximum, bs - row)
+    ok = is_start[order2] & (placed - bs < _PROBES) & (placed < H)
+    slot = jnp.where(ok, placed, H)  # H = write-off row, never read back
 
-    ins_h = jnp.where(is_start, h_s, INVALID_HASH)
-    ins_start = jnp.where(is_start, bucket_start[bucket_id], 0)
-    ins_count = jnp.where(is_start, bucket_count[bucket_id], 0)
-    base_slot = (ins_h & jnp.uint32(H - 1)).astype(jnp.int32)
-    row_id = jnp.arange(n, dtype=jnp.int32)
-
-    def insert_round(r, state):
-        th, ts, tc, pending = state
-        slot = (base_slot + r) & (H - 1)
-        free = th[slot] == INVALID_HASH
-        want = pending & free
-        # Contended slots: lowest row id wins this round.
-        claim = jnp.full((H + 1,), n, dtype=jnp.int32).at[
-            jnp.where(want, slot, H)
-        ].min(jnp.where(want, row_id, n))
-        won = want & (claim[slot] == row_id)
-        wslot = jnp.where(won, slot, H)
-        th = th.at[wslot].set(jnp.where(won, ins_h, th[wslot]))
-        ts = ts.at[wslot].set(jnp.where(won, ins_start, ts[wslot]))
-        tc = tc.at[wslot].set(jnp.where(won, ins_count, tc[wslot]))
-        return th, ts, tc, pending & ~won
-
-    pending0 = is_start & (ins_h != INVALID_HASH)
-    table_hash, table_start, table_count, _ = jax.lax.fori_loop(
-        0, _PROBES, insert_round, (table_hash, table_start, table_count, pending0)
+    vals = jnp.stack(
+        [h_s[order2].astype(jnp.int32), start_pp[order2], count_pp[order2]], axis=1
     )
-    # Pack the WHOLE probe window into one row: row r of the [H/2, 24] table
-    # holds the (hash, start, count) triples of slots 2r .. 2r+7 (wrapping).
-    # A lookup then needs a single wide gather — row (base >> 1) covers >= 7
-    # probe positions from any base slot — instead of one gather per probe
-    # round (the gather unit is row-rate-bound, so the 4x fewer rows is a
-    # direct 4x on the table-lookup phase of a candidate refresh).
-    th = table_hash[:H].astype(jnp.int32)
-    ts = table_start[:H]
-    tc = table_count[:H]
-    cols = []
-    for j in range(8):
-        cols += [jnp.roll(th, -j)[0::2], jnp.roll(ts, -j)[0::2], jnp.roll(tc, -j)[0::2]]
-    table = jnp.stack(cols, axis=1)  # [H/2, 24]
+    init = jnp.concatenate(
+        [
+            jnp.full((H + 1, 1), -1, dtype=jnp.int32),  # int32 view of INVALID_HASH
+            jnp.zeros((H + 1, 2), dtype=jnp.int32),
+        ],
+        axis=1,
+    )
+    table3 = init.at[slot].set(vals)  # the ONE scatter of the build
 
-    del start_of_bucket
+    # Pack the WHOLE probe window into one row: row r of the [H/2, 24] table
+    # holds the (hash, start, count) triples of slots 2r .. 2r+7. A lookup then
+    # needs a single wide gather — row (base >> 1) covers >= 7 probe positions
+    # from any base slot — instead of one gather per probe round (the gather
+    # unit is row-rate-bound, so the 4x fewer rows is a direct 4x on the
+    # table-lookup phase of a candidate refresh). Built from contiguous
+    # leading-axis slices only (stride-2 lane slices are ~1000x slower on TPU).
+    # Tail windows read zero-pad rows instead of wrapping: slots >= H hold no
+    # bucket, and hash 0 there cannot false-hit (a query whose window reaches
+    # row >= H has low hash bits >= H-8, so its full 32-bit hash is nonzero).
+    view = jnp.pad(table3[:H], ((0, 6), (0, 0))).reshape(H // 2 + 3, 6)
+    table = jnp.concatenate([view[k : H // 2 + k] for k in range(4)], axis=1)
+
     return HashGrid(
-        unique_hash=unique_hash,
-        bucket_start=bucket_start,
-        bucket_count=bucket_count,
         table=table,
         points=pts_s,
         # SoA within each slab row ([x0..x7, y0..y7, z0..z7]): distance math on
@@ -484,42 +459,43 @@ def build_nn_cache(
         query_mask = jnp.ones((n,), dtype=bool)
 
     slabs = cands.slabs  # [N, 27, S, 3G], rows [x0..x_{G-1}, y.., z..]
-    dx = slabs[..., 0 * G : 1 * G] - queries[:, None, None, 0:1]
-    dy = slabs[..., 1 * G : 2 * G] - queries[:, None, None, 1:2]
-    dz = slabs[..., 2 * G : 3 * G] - queries[:, None, None, 2:3]
-    d2 = (dx * dx + dy * dy + dz * dz).reshape(n, 27, n_slabs * G)
+    xs = slabs[..., 0 * G : 1 * G].reshape(n, 27, n_slabs * G)
+    ys = slabs[..., 1 * G : 2 * G].reshape(n, 27, n_slabs * G)
+    zs = slabs[..., 2 * G : 3 * G].reshape(n, 27, n_slabs * G)
+    dx = xs - queries[:, None, 0:1]
+    dy = ys - queries[:, None, 1:2]
+    dz = zs - queries[:, None, 2:3]
+    d2 = dx * dx + dy * dy + dz * dz
 
     rows = cands._rows()  # [N, 27, S*G]
     ok = (rows >= cands.start[..., None]) & (rows < (cands.start + cands.count)[..., None])
     d2 = jnp.where(ok, d2, jnp.float32(jnp.inf))
 
-    k = jnp.argmin(d2, axis=-1)  # ties -> lowest candidate index
-    best_d2 = jnp.take_along_axis(d2, k[..., None], axis=-1)[..., 0]  # [N, 27]
-    brow = jnp.take_along_axis(rows, k[..., None], axis=-1)[..., 0]  # [N, 27]
+    # Champion per voxel WITHOUT gathers: min + one-hot selection sums. The
+    # take_along_axis form lowered to per-row HBM gathers (~50 ms at 16k x 27);
+    # the one-hot selects stream the already-resident candidate lanes instead.
+    best_d2 = jnp.min(d2, axis=-1)  # [N, 27]
+    iota = jnp.arange(n_slabs * G, dtype=jnp.int32)
+    ksel = jnp.min(
+        jnp.where(d2 == best_d2[..., None], iota, jnp.int32(2**30)), axis=-1
+    )  # ties -> lowest candidate index
+    onehot = iota[None, None, :] == ksel[..., None]  # [N, 27, S*G]
+    bx = jnp.sum(jnp.where(onehot, xs, 0.0), axis=-1)
+    by = jnp.sum(jnp.where(onehot, ys, 0.0), axis=-1)
+    bz = jnp.sum(jnp.where(onehot, zs, 0.0), axis=-1)
+    brow = jnp.sum(jnp.where(onehot, rows, 0), axis=-1)
 
     alive = jnp.isfinite(best_d2) & query_mask[:, None]
-    pad = jnp.full((n, 32 - 27), jnp.float32(INVALID_COORD))
+    bad = jnp.float32(INVALID_COORD)
+    pad = jnp.full((n, 32 - 27), bad)
     ipad = jnp.zeros((n, 32 - 27), dtype=jnp.int32)
 
     return NNCache(
-        cx=jnp.concatenate([jnp.where(alive, _champ_coord(cands, brow, 0), jnp.float32(INVALID_COORD)), pad], axis=1),
-        cy=jnp.concatenate([jnp.where(alive, _champ_coord(cands, brow, 1), jnp.float32(INVALID_COORD)), pad], axis=1),
-        cz=jnp.concatenate([jnp.where(alive, _champ_coord(cands, brow, 2), jnp.float32(INVALID_COORD)), pad], axis=1),
+        cx=jnp.concatenate([jnp.where(alive, bx, bad), pad], axis=1),
+        cy=jnp.concatenate([jnp.where(alive, by, bad), pad], axis=1),
+        cz=jnp.concatenate([jnp.where(alive, bz, bad), pad], axis=1),
         rows=jnp.concatenate([brow, ipad], axis=1),
     )
-
-
-def _champ_coord(cands: Candidates, brow: jnp.ndarray, axis: int) -> jnp.ndarray:
-    """Champion coordinate from the already-gathered slabs (no HBM re-gather).
-
-    `brow` is a global row id; within this candidate set it lives in slab
-    (brow >> shift) - slab0 of its voxel, lane brow & (G-1)."""
-    G = _SLAB
-    slab0 = cands.start >> _SLAB_SHIFT  # [N, 27]
-    s = jnp.clip((brow >> _SLAB_SHIFT) - slab0, 0, cands.slabs.shape[2] - 1)
-    lane = (brow & (G - 1)) + axis * G
-    picked = jnp.take_along_axis(cands.slabs, s[..., None, None], axis=2)[:, :, 0, :]
-    return jnp.take_along_axis(picked, lane[..., None], axis=-1)[..., 0]
 
 
 def nn_from_cache(
@@ -527,25 +503,39 @@ def nn_from_cache(
     grid_points: jnp.ndarray,
     queries: jnp.ndarray,
     query_mask: Optional[jnp.ndarray] = None,
+    use_pallas: Optional[bool] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Closest cached champion per query. Same contract as `nn_from_slabs`;
-    exact at the refresh position, champion-approximate after motion."""
+    exact at the refresh position, champion-approximate after motion.
+
+    On TPU the distance/arg-min runs through the fused Pallas kernel
+    (`ops/nn_kernel.nn_argmin`); the winning coordinates are then selected
+    with one-hot sums — no gathers anywhere on this per-GN-iteration path."""
     n = queries.shape[0]
     if query_mask is None:
         query_mask = jnp.ones((n,), dtype=bool)
-    qx, qy, qz = queries[:, 0:1], queries[:, 1:2], queries[:, 2:3]
-    d2 = (cache.cx - qx) ** 2 + (cache.cy - qy) ** 2 + (cache.cz - qz) ** 2
-    best_d2 = jnp.min(d2, axis=-1)
-    iota = jnp.arange(d2.shape[-1], dtype=jnp.int32)[None, :]
-    best_k = jnp.min(
-        jnp.where(d2 == best_d2[:, None], iota, jnp.int32(2**30)), axis=-1
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        from vfmreg_tpu.ops.nn_kernel import nn_argmin
+
+        best_d2, best_k = nn_argmin(cache.cx, cache.cy, cache.cz, queries)
+    else:
+        qx, qy, qz = queries[:, 0:1], queries[:, 1:2], queries[:, 2:3]
+        d2 = (cache.cx - qx) ** 2 + (cache.cy - qy) ** 2 + (cache.cz - qz) ** 2
+        best_d2 = jnp.min(d2, axis=-1)
+        iota = jnp.arange(d2.shape[-1], dtype=jnp.int32)[None, :]
+        best_k = jnp.min(
+            jnp.where(d2 == best_d2[:, None], iota, jnp.int32(2**30)), axis=-1
+        )
+    onehot = (
+        jnp.arange(cache.cx.shape[-1], dtype=jnp.int32)[None, :] == best_k[:, None]
     )
-    ksel = jnp.minimum(best_k, d2.shape[-1] - 1)[:, None]
-    best_pt = jnp.concatenate(
+    best_pt = jnp.stack(
         [
-            jnp.take_along_axis(cache.cx, ksel, axis=1),
-            jnp.take_along_axis(cache.cy, ksel, axis=1),
-            jnp.take_along_axis(cache.cz, ksel, axis=1),
+            jnp.sum(jnp.where(onehot, cache.cx, 0.0), axis=-1),
+            jnp.sum(jnp.where(onehot, cache.cy, 0.0), axis=-1),
+            jnp.sum(jnp.where(onehot, cache.cz, 0.0), axis=-1),
         ],
         axis=1,
     )

@@ -121,10 +121,12 @@ def geometric_icp_loop(
     """Shared geometric GN loop (used by plain ICP and VFM-ICP phase 2).
 
     Outer `while_loop` refreshes the per-voxel-champion candidate cache; an
-    inner fixed-length `scan` runs up to `refresh_interval` GN iterations
-    against the cached champions with converged/done iterations masked to
-    no-ops — termination picks the same iterate as a per-iteration-checked
-    loop. Two guards make the champion cache safe:
+    inner `while_loop` runs up to `refresh_interval` GN iterations against the
+    cached champions and EXITS as soon as any stop condition fires (under
+    `vmap`, jax's while batching rule masks per-lane carry updates, so a
+    converged lane idles while slower lanes in the batch finish) — termination
+    picks the same iterate as a per-iteration-checked loop. Two guards make
+    the champion cache safe:
 
     * MOTION BOUND — each iteration adds a bound on how far any source point
       moved (|dt| + |omega| * r_max); once the accumulated motion since the
@@ -152,37 +154,35 @@ def geometric_icp_loop(
             gather_candidate_slabs(grid, state.source, mask), state.source, mask
         )
 
-        def inner(carry, s):
-            source, T_icp, dx_norm, it, done, confirmed, moved = carry
-            fresh = s == 0
-            active = (
-                (it < max_iterations)
+        def inner_cond(carry):
+            source, T_icp, dx_norm, it, done, confirmed, moved, s = carry
+            return (
+                (s < refresh_interval)
+                & (it < max_iterations)
                 & ~done
                 & ~confirmed
                 & (moved < slack)
-                & (fresh | (dx_norm >= estimation_threshold))
+                & ((s == 0) | (dx_norm >= estimation_threshold))
             )
+
+        def inner(carry):
+            source, T_icp, dx_norm, it, done, confirmed, moved, s = carry
+            fresh = s == 0
             nbr, dist, found = nn_from_cache(cache, grid.points, source, mask)
             accept = found & (dist < max_dist)
             JTJ, JTr, n_corr = build_linear_system(source, nbr, accept, kernel, center)
             dx = gn_step(JTJ, JTr, n_corr)
             est_world = _conjugate_translation(exp_se3(dx), center)
-            new_source = transform_points(source, est_world)
-            new_T = est_world @ T_icp
-            new_dx_norm = jnp.linalg.norm(dx)
-            source = jnp.where(active, new_source, source)
-            T_icp = jnp.where(active, new_T, T_icp)
-            dx_norm = jnp.where(active, new_dx_norm, dx_norm)
-            confirmed = confirmed | (
-                active & fresh & (new_dx_norm < estimation_threshold)
-            )
-            step_bound = jnp.linalg.norm(dx[:3]) + jnp.linalg.norm(dx[3:]) * r_max
-            moved = moved + jnp.where(active, step_bound, 0.0)
-            done = done | (active & (n_corr == 0))
-            it = it + active.astype(jnp.int32)
-            return (source, T_icp, dx_norm, it, done, confirmed, moved), None
+            source = transform_points(source, est_world)
+            T_icp = est_world @ T_icp
+            dx_norm = jnp.linalg.norm(dx)
+            confirmed = confirmed | (fresh & (dx_norm < estimation_threshold))
+            moved = moved + jnp.linalg.norm(dx[:3]) + jnp.linalg.norm(dx[3:]) * r_max
+            done = done | (n_corr == 0)
+            return (source, T_icp, dx_norm, it + 1, done, confirmed, moved, s + 1)
 
-        (source, T_icp, dx_norm, it, done, confirmed, _), _ = jax.lax.scan(
+        source, T_icp, dx_norm, it, done, confirmed, _, _ = jax.lax.while_loop(
+            inner_cond,
             inner,
             (
                 state.source,
@@ -192,8 +192,8 @@ def geometric_icp_loop(
                 state.done,
                 state.confirmed,
                 jnp.float32(0.0),
+                jnp.int32(0),
             ),
-            jnp.arange(refresh_interval, dtype=jnp.int32),
         )
         return _ICPState(source, T_icp, dx_norm, it, done, confirmed)
 
