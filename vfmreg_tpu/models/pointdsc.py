@@ -102,6 +102,30 @@ def _nonlocal_block(feat, attention, block, num_channels):
     return feat + m
 
 
+def pointdsc_encode(params: Dict[str, Any], corr_pos: jnp.ndarray, compat: jnp.ndarray):
+    """NonLocalNet encoder + confidence head (`PointDSC.py:52-80,175-180`).
+
+    corr_pos [N, in_dim], compat [N, N] -> (feat [N, C], confidence [N]).
+    Split out of `pointdsc_forward` so the torch-parity fixtures can pin the
+    converter against the reference encoder in isolation."""
+    num_channels = params["layer0"]["w"].shape[1]
+    feat = corr_pos @ params["layer0"]["w"] + params["layer0"]["b"]
+    for block in params["blocks"]:
+        feat = jax.nn.relu(
+            _apply_bn(
+                feat @ block["pointcn"]["dense"]["w"] + block["pointcn"]["dense"]["b"],
+                block["pointcn"]["bn"],
+            )
+        )
+        feat = _nonlocal_block(feat, compat, block, num_channels)
+    h = feat
+    for i, layer in enumerate(params["classification"]):
+        h = h @ layer["w"] + layer["b"]
+        if i < 2:
+            h = jax.nn.relu(h)
+    return feat, h[:, 0]
+
+
 @partial(jax.jit, static_argnames=("num_iterations", "k", "ratio_num", "refine_iters"))
 def pointdsc_forward(
     params: Dict[str, Any],
@@ -129,24 +153,11 @@ def pointdsc_forward(
     compat = jnp.clip(1.0 - compat**2 / (sigma_d**2), 0.0, None)
     compat = jnp.where(mask[:, None] & mask[None, :], compat, 0.0)
 
-    feat = corr_pos @ params["layer0"]["w"] + params["layer0"]["b"]
-    for block in params["blocks"]:
-        feat = jax.nn.relu(
-            _apply_bn(
-                feat @ block["pointcn"]["dense"]["w"] + block["pointcn"]["dense"]["b"],
-                block["pointcn"]["bn"],
-            )
-        )
-        feat = _nonlocal_block(feat, compat, block, num_channels)
+    feat, confidence = pointdsc_encode(params, corr_pos, compat)
     normed_feat = feat / jnp.maximum(jnp.linalg.norm(feat, axis=-1, keepdims=True), 1e-12)
 
     # ---- Step 2: confidence + NMS seeds (`:175-226`) ----
-    h = feat
-    for i, layer in enumerate(params["classification"]):
-        h = h @ layer["w"] + layer["b"]
-        if i < 2:
-            h = jax.nn.relu(h)
-    confidence = jnp.where(mask, h[:, 0], -big)
+    confidence = jnp.where(mask, confidence, -big)
 
     # Parallel NMS: i is a local max if for all j with dist < R, conf_i >= conf_j.
     score_relation = (confidence[:, None] >= confidence[None, :]) | (src_dist >= nms_radius)

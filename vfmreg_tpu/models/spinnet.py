@@ -171,7 +171,19 @@ def spinnet_forward(
 
     rel = sphere_query_rel(delta, grid_pts, voxel_r, voxel_sample)  # [B, N, k, 3]
     rel = var_to_invar(rel, rad_n, azi_n, ele_n)
+    return spinnet_trunk(params, rel, rad_n, azi_n, ele_n)
 
+
+def spinnet_trunk(
+    params: Dict[str, Any],
+    rel: jnp.ndarray,  # [B, N, k, 3] azimuth-aligned in-voxel samples
+    rad_n: int,
+    azi_n: int,
+    ele_n: int,
+) -> jnp.ndarray:
+    """Learned trunk from the grouped samples on (`model.py:60-72` +
+    `ThreeDCCN.py:57-97`) — split out so the torch-parity fixtures can pin the
+    converter without the geometric partition."""
     # Point lift: 1x1 conv (3->16) + BN + ReLU + max over samples.
     h = jnp.einsum("bnkc,cd->bnkd", rel, params["xyz_raising"]["w"][0, 0]) + params["xyz_raising"]["b"]
     bnp = params["bn_xyz"]
