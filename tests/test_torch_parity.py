@@ -7,6 +7,7 @@ asserts the JAX forward matches the torch forward. This pins the
 checkpoint-conversion contract of every learned baseline (VERDICT r1 item 3).
 """
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -74,4 +75,61 @@ def test_spinnet_converter_parity():
     params = load_spinnet_state_dict(sd, dim=32)
     rel = np.transpose(grouped, (0, 2, 3, 1))  # [B, N, k, 3]
     got = np.asarray(spinnet_trunk(params, rel, rad_n, azi_n, ele_n))
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_gedi_converter_parity():
+    """GeDi PointNet2Feature (qnet + 3 SA modules + FC head): torch == JAX
+    after conversion (reference `gedi/gedi.py:12-129` + vendored
+    pointnet2_ops CUDA semantics)."""
+    from tests.torch_oracles.gedi_oracle import GeDiOracle
+    from vfmreg_tpu.models.gedi import gedi_forward, load_gedi_state_dict
+
+    net = randomize_module(GeDiOracle(dim=32), seed=5)
+    rng = np.random.RandomState(4)
+    patches = rng.normal(size=(2, 3, 256)).astype(np.float32) * 0.5
+
+    with torch.no_grad():
+        want = net(torch.from_numpy(patches)).numpy()
+
+    sd = {k: v.numpy() for k, v in net.state_dict().items()}
+    params = load_gedi_state_dict(sd, dim=32)
+    got = np.asarray(gedi_forward(params, np.transpose(patches, (0, 2, 1))))
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_fcgf_gcl_sparse_resunet_converter_parity():
+    """Sparse ResUNet (FCGF/GCL family): JAX gather-based forward == the
+    brute-force ME-semantics torch oracle after conversion. Settles the ME
+    kernel-offset order, the stride-2 coordinate floor rule, and the
+    transposed-conv connection direction (`ops/sparse_conv.py` contract)."""
+    from tests.torch_oracles.me_resunet_oracle import MEResUNetOracle
+    from vfmreg_tpu.models.sparse_resunet import (
+        ResUNetConfig,
+        load_me_state_dict,
+        resunet_forward,
+    )
+
+    channels, tr = (8, 16, 16, 16), (8, 8, 8, 16)
+    net = randomize_module(
+        MEResUNetOracle(in_ch=1, out_ch=8, channels=channels, tr_channels=tr,
+                        conv1_kernel_size=5),
+        seed=13,
+    )
+    rng = np.random.RandomState(6)
+    coords = np.unique(rng.randint(-8, 9, size=(200, 3)).astype(np.int32), axis=0)
+    n = coords.shape[0]
+    feats = rng.normal(size=(n, 1)).astype(np.float32)
+
+    with torch.no_grad():
+        want = net([tuple(int(v) for v in c) for c in coords], torch.from_numpy(feats)).numpy()
+
+    cfg = ResUNetConfig(in_channels=1, out_channels=8, channels=channels,
+                        tr_channels=tr, conv1_kernel_size=5, normalize_feature=True)
+    sd = {k: v.numpy() for k, v in net.state_dict().items()}
+    params = load_me_state_dict(sd, cfg)
+    got = np.asarray(
+        resunet_forward(params, jnp.asarray(coords), jnp.asarray(feats),
+                        jnp.ones((n,), bool), cfg)
+    )
     np.testing.assert_allclose(got, want, atol=1e-4)

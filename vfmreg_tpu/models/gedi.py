@@ -106,7 +106,7 @@ def _sa_module(layers, xyz, features, npoint, radius, nsample):
         grouped_xyz = xyz[:, None, :, :]  # [B, 1, N, 3]
         grouped_feat = features[:, None, :, :] if features is not None else None
     else:
-        fps_idx = furthest_point_sampling(xyz, npoint)
+        fps_idx = furthest_point_sampling(xyz, npoint, skip_near_origin=True)
         new_xyz = jax.vmap(lambda p, i: p[i])(xyz, fps_idx)
         idx = ball_query(radius, nsample, xyz, new_xyz)  # [B, S, k]
         grouped_xyz = jax.vmap(lambda p, i: p[i])(xyz, idx) - new_xyz[:, :, None, :]
@@ -209,10 +209,13 @@ def load_gedi_state_dict(state_dict: Dict[str, np.ndarray], dim: int = 32) -> Di
     }
 
     def sa(prefix, n_layers):
+        # The vendored pointnet2 `build_shared_mlp` is a plain Sequential of
+        # [Conv2d, BatchNorm2d, ReLU] per spec entry (`pointnet2_modules.py:9-18`),
+        # so convs sit at indices 3i and BNs at 3i+1.
         layers = []
         for i in range(n_layers):
             layers.append(
-                {"conv": conv2d(f"{prefix}.mlps.0.layer{i}.conv"), "bn": bn(f"{prefix}.mlps.0.layer{i}.normlayer.bn")}
+                {"conv": conv2d(f"{prefix}.mlps.0.{3 * i}"), "bn": bn(f"{prefix}.mlps.0.{3 * i + 1}")}
             )
         return layers
 

@@ -5,8 +5,8 @@ Covers the reference's MinkowskiEngine models:
     TR_CHANNELS [64,64,64,128], conv1 kernel 7, forward order
     conv -> norm -> block -> relu (`fcgf.py` ResUNet2.forward);
   * GCL `ResUNetFatBN` (`gcl/model/resunet.py:271-274`): TR_CHANNELS
-    [128,128,128,256], conv1 kernel 5, forward order conv -> norm -> relu ->
-    block (`resunet.py` ResUNet2.forward).
+    [128,128,128,256], conv1 kernel 5, same conv -> norm -> block -> relu
+    forward order as FCGF (`resunet.py:165-227`).
 
 A 4-level U-Net over strides 1/2/4/8 with BasicBlockBN residual blocks,
 stride-2 down convs, transposed stride-2 up convs emitting onto the skip
@@ -48,9 +48,11 @@ class ResUNetConfig:
 
 
 FCGF_CONFIG = ResUNetConfig()
+# GCL's ResUNet2.forward follows the SAME conv -> norm -> block -> relu order
+# as FCGF (`gcl/model/resunet.py:165-227`, KERNEL_SIZES=[None,3,3,3] so no
+# extra dilated layer); it differs only in TR channel widths and conv1 kernel.
 GCL_CONFIG = ResUNetConfig(
-    tr_channels=(128, 128, 128, 256), conv1_kernel_size=5, relu_before_block=True,
-    normalize_feature=True,
+    tr_channels=(128, 128, 128, 256), conv1_kernel_size=5, normalize_feature=True,
 )
 
 # Registry covering the reference model-zoo names (`fcgf/fcgf.py` ResUNet family,

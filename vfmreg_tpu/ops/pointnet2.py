@@ -16,12 +16,21 @@ import jax
 import jax.numpy as jnp
 
 
-@partial(jax.jit, static_argnames=("npoint",))
-def furthest_point_sampling(xyz: jnp.ndarray, npoint: int, mask=None) -> jnp.ndarray:
-    """[B, N, 3] -> [B, npoint] indices. Starts from index 0 (CUDA parity)."""
+@partial(jax.jit, static_argnames=("npoint", "skip_near_origin"))
+def furthest_point_sampling(
+    xyz: jnp.ndarray, npoint: int, mask=None, skip_near_origin: bool = False
+) -> jnp.ndarray:
+    """[B, N, 3] -> [B, npoint] indices. Starts from index 0 (CUDA parity).
+
+    `skip_near_origin=True` reproduces the CUDA kernel's `mag <= 1e-3` guard
+    (`sampling_gpu.cu:100-101`): points with squared norm <= 1e-3 are never
+    selected (after index 0). GeDi's SA modules run on origin-centered LRF
+    patches, so the guard is load-bearing for checkpoint parity there."""
     b, n, _ = xyz.shape
     if mask is None:
         mask = jnp.ones((b, n), dtype=bool)
+    if skip_near_origin:
+        mask = mask & (jnp.sum(xyz * xyz, axis=-1) > 1e-3)
     inf = jnp.float32(1e10)
 
     def per_batch(pts, m):

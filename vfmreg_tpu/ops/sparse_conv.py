@@ -14,9 +14,13 @@ U-Net skip level), connecting out y to in x when x = y - o_k.
 
 Kernel offset ORDER (weight-conversion contract): offsets enumerate the cube
 [-r, r]^3 in row-major order with the LAST axis fastest, i.e.
-index = (ox+r)*e^2 + (oy+r)*e + (oz+r), e = kernel edge — ME's generator order
-for HYPER_CUBE regions. If a converted checkpoint underperforms, flip with
-`kernel_order="first_fastest"`.
+index = (ox+r)*e^2 + (oy+r)*e + (oz+r), e = kernel edge — ME v0.5's
+`RegionIterator` odometer order for HYPER_CUBE regions (`src/kernel_region.hpp`
+increments the last coordinate first). The full contract — offset order,
+floor-division stride-2 coordinates, transpose connection y = x + o_k*s_out —
+is pinned by `tests/test_torch_parity.py::
+test_fcgf_gcl_sparse_resunet_converter_parity` against a brute-force
+ME-semantics torch oracle (`tests/torch_oracles/me_resunet_oracle.py`).
 """
 
 from __future__ import annotations
