@@ -224,9 +224,34 @@ class ImageFeatureGenerator:
             pca_feats[zero_rows] = 0
         return pca_feats
 
-    def compute_similarity(self, features: np.ndarray, embedding: np.ndarray) -> np.ndarray:
-        """Cosine similarity of per-point features vs a (text) embedding vector
-        (`compute_similarity`, `image_features.py:194-208`); zero rows stay zero."""
+    def set_text_encoder(self, text_params, text_config=None, tokenizer=None) -> None:
+        """Attach a CLIP text tower (`models.clip_text`) so prompts encode
+        natively; `tokenizer` is a `SimpleTokenizer` over the standard merges."""
+        from vfmreg_tpu.models.clip_text import CLIPTextConfig
+
+        self.text_params = text_params
+        self.text_config = text_config or CLIPTextConfig()
+        self.tokenizer = tokenizer
+
+    def encode_text(self, prompt: str) -> np.ndarray:
+        """prompt -> CLIP text embedding (`image_features.py:195-197`:
+        tokenize + encode_text)."""
+        from vfmreg_tpu.models.clip_text import clip_text_forward
+
+        if getattr(self, "text_params", None) is None or self.tokenizer is None:
+            raise RuntimeError(
+                "text encoder not attached: call set_text_encoder(params, cfg, tokenizer)"
+            )
+        tokens = self.tokenizer.tokenize(prompt, self.text_config.context_length)
+        emb = clip_text_forward(self.text_params, jnp.asarray(tokens), self.text_config)
+        return np.asarray(emb)[0]
+
+    def compute_similarity(self, features: np.ndarray, embedding) -> np.ndarray:
+        """Cosine similarity of per-point features vs a text prompt or a
+        precomputed embedding vector (`compute_similarity`,
+        `image_features.py:194-208`); zero rows stay zero."""
+        if isinstance(embedding, str):
+            embedding = self.encode_text(embedding)
         emb = embedding.reshape(-1)
         emb = emb / np.linalg.norm(emb)
         norm = np.linalg.norm(features, axis=-1, keepdims=True)

@@ -51,6 +51,18 @@ CHECKPOINTS = {
         "https://dl.fbaipublicfiles.com/dinov2/dinov2_vits14/dinov2_vits14_pretrain.pth",
         "VFMREG_DINOV2_WEIGHTS",
     ),
+    # CLIP BPE merge table for the text tower (`models.clip_text`).
+    "clip_bpe": (
+        "bpe_simple_vocab_16e6.txt.gz",
+        "https://github.com/openai/CLIP/raw/main/clip/bpe_simple_vocab_16e6.txt.gz",
+        "VFMREG_CLIP_BPE",
+    ),
+    # OpenAI CLIP ViT-B/16 (MaskCLIP backbone + text tower weights).
+    "clip_vitb16": (
+        "ViT-B-16.pt",
+        "https://openaipublic.azureedge.net/clip/models/5806e77cd80f8b59890b7e101eabd078d9fb84e6937f9e85e4ecb61988df416f/ViT-B-16.pt",
+        "VFMREG_CLIP_WEIGHTS",
+    ),
 }
 
 
