@@ -167,12 +167,12 @@ def test_nn_kernel_matches_fallback(rng):
 
     with np.errstate(over="ignore"):  # sentinel coords overflow to +inf by design
         d2 = (
-            (np.asarray(cache.cx) - np.asarray(q)[:, 0:1]) ** 2
-            + (np.asarray(cache.cy) - np.asarray(q)[:, 1:2]) ** 2
-            + (np.asarray(cache.cz) - np.asarray(q)[:, 2:3]) ** 2
+            (np.asarray(cache.cx) - np.asarray(q)[None, :, 0]) ** 2
+            + (np.asarray(cache.cy) - np.asarray(q)[None, :, 1]) ** 2
+            + (np.asarray(cache.cz) - np.asarray(q)[None, :, 2]) ** 2
         )
-    best = d2.min(axis=-1)
-    ks = np.where(d2 == best[:, None], np.arange(d2.shape[-1])[None, :], 2**30).min(axis=-1)
+    best = d2.min(axis=0)
+    ks = np.where(d2 == best[None, :], np.arange(d2.shape[0])[:, None], 2**30).min(axis=0)
     fin = np.isfinite(best)
     np.testing.assert_allclose(np.asarray(d2_k)[fin], best[fin], rtol=1e-6)
     np.testing.assert_array_equal(np.asarray(k_k)[fin], ks[fin])
@@ -183,3 +183,37 @@ def test_nn_kernel_matches_fallback(rng):
     fm = np.asarray(f_c)
     np.testing.assert_allclose(np.asarray(d_c)[fm], np.asarray(d_s)[fm], rtol=1e-6)
     np.testing.assert_allclose(np.asarray(pt_c)[fm], np.asarray(pt_s)[fm], atol=1e-6)
+
+
+def test_gn_kernel_matches_build_linear_system(rng):
+    """Fused GN-moments kernel (interpret mode) == nn_from_cache +
+    build_linear_system on the same champion cache."""
+    from vfmreg_tpu.ops.gn_kernel import assemble_gn_system, gn_moments_from_cache
+    from vfmreg_tpu.ops.hash_grid import (
+        build_nn_cache,
+        gather_candidate_slabs,
+        nn_from_cache,
+    )
+    from vfmreg_tpu.registration.icp import build_linear_system
+
+    pts = jnp.asarray(rng.uniform(-10, 10, (900, 3)).astype(np.float32))
+    q = jnp.asarray(rng.uniform(-10, 10, (130, 3)).astype(np.float32))
+    qmask = jnp.asarray(rng.rand(130) > 0.1)
+    grid = build_hash_grid(pts, 1.0)
+    cache = build_nn_cache(gather_candidate_slabs(grid, q, qmask), q, qmask)
+
+    center = jnp.asarray(np.mean(np.asarray(q), axis=0))
+    kernel, max_dist = jnp.float32(0.667), jnp.float32(1.5)
+
+    nbr, dist, found = nn_from_cache(cache, grid.points, q, qmask, use_pallas=False)
+    accept = found & (dist < max_dist)
+    JTJ_ref, JTr_ref, n_ref = build_linear_system(q, nbr, accept, kernel, center)
+
+    m = gn_moments_from_cache(
+        cache.cx, cache.cy, cache.cz, q, center, kernel, max_dist,
+        block_q=64, interpret=True,
+    )
+    JTJ, JTr, n = assemble_gn_system(m)
+    assert int(n) == int(n_ref)
+    np.testing.assert_allclose(np.asarray(JTJ), np.asarray(JTJ_ref), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(JTr), np.asarray(JTr_ref), rtol=2e-4, atol=2e-4)

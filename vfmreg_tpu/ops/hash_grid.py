@@ -437,12 +437,16 @@ class NNCache(NamedTuple):
 
     Coordinates carry the `INVALID_COORD` sentinel in dead lanes (squared
     distances overflow to +inf — no mask array to stream); `rows` maps each
-    champion back to its row in `grid.points`."""
+    champion back to its row in `grid.points`.
 
-    cx: jnp.ndarray  # [N, 32] f32 (27 champions + sentinel pad)
+    Arrays are TRANSPOSED ([K=32, N]: champions in sublanes, queries in
+    lanes) so the per-iteration Pallas kernels reduce across sublanes while
+    the query axis fills full 128-lane tiles."""
+
+    cx: jnp.ndarray  # [32, N] f32 (27 champions + sentinel pad)
     cy: jnp.ndarray
     cz: jnp.ndarray
-    rows: jnp.ndarray  # [N, 32] i32
+    rows: jnp.ndarray  # [32, N] i32
 
 
 def build_nn_cache(
@@ -487,14 +491,14 @@ def build_nn_cache(
 
     alive = jnp.isfinite(best_d2) & query_mask[:, None]
     bad = jnp.float32(INVALID_COORD)
-    pad = jnp.full((n, 32 - 27), bad)
-    ipad = jnp.zeros((n, 32 - 27), dtype=jnp.int32)
+    pad = jnp.full((32 - 27, n), bad)
+    ipad = jnp.zeros((32 - 27, n), dtype=jnp.int32)
 
     return NNCache(
-        cx=jnp.concatenate([jnp.where(alive, bx, bad), pad], axis=1),
-        cy=jnp.concatenate([jnp.where(alive, by, bad), pad], axis=1),
-        cz=jnp.concatenate([jnp.where(alive, bz, bad), pad], axis=1),
-        rows=jnp.concatenate([brow, ipad], axis=1),
+        cx=jnp.concatenate([jnp.where(alive, bx, bad).T, pad], axis=0),
+        cy=jnp.concatenate([jnp.where(alive, by, bad).T, pad], axis=0),
+        cz=jnp.concatenate([jnp.where(alive, bz, bad).T, pad], axis=0),
+        rows=jnp.concatenate([brow.T, ipad], axis=0),
     )
 
 
@@ -521,21 +525,23 @@ def nn_from_cache(
 
         best_d2, best_k = nn_argmin(cache.cx, cache.cy, cache.cz, queries)
     else:
-        qx, qy, qz = queries[:, 0:1], queries[:, 1:2], queries[:, 2:3]
-        d2 = (cache.cx - qx) ** 2 + (cache.cy - qy) ** 2 + (cache.cz - qz) ** 2
-        best_d2 = jnp.min(d2, axis=-1)
-        iota = jnp.arange(d2.shape[-1], dtype=jnp.int32)[None, :]
+        qx, qy, qz = queries[:, 0], queries[:, 1], queries[:, 2]
+        d2 = (cache.cx - qx[None, :]) ** 2 + (cache.cy - qy[None, :]) ** 2 + (
+            cache.cz - qz[None, :]
+        ) ** 2
+        best_d2 = jnp.min(d2, axis=0)
+        iota = jnp.arange(d2.shape[0], dtype=jnp.int32)[:, None]
         best_k = jnp.min(
-            jnp.where(d2 == best_d2[:, None], iota, jnp.int32(2**30)), axis=-1
+            jnp.where(d2 == best_d2[None, :], iota, jnp.int32(2**30)), axis=0
         )
     onehot = (
-        jnp.arange(cache.cx.shape[-1], dtype=jnp.int32)[None, :] == best_k[:, None]
+        jnp.arange(cache.cx.shape[0], dtype=jnp.int32)[:, None] == best_k[None, :]
     )
     best_pt = jnp.stack(
         [
-            jnp.sum(jnp.where(onehot, cache.cx, 0.0), axis=-1),
-            jnp.sum(jnp.where(onehot, cache.cy, 0.0), axis=-1),
-            jnp.sum(jnp.where(onehot, cache.cz, 0.0), axis=-1),
+            jnp.sum(jnp.where(onehot, cache.cx, 0.0), axis=0),
+            jnp.sum(jnp.where(onehot, cache.cy, 0.0), axis=0),
+            jnp.sum(jnp.where(onehot, cache.cz, 0.0), axis=0),
         ],
         axis=1,
     )

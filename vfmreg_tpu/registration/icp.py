@@ -165,12 +165,29 @@ def geometric_icp_loop(
                 & ((s == 0) | (dx_norm >= estimation_threshold))
             )
 
+        use_fused = jax.default_backend() == "tpu"
+
         def inner(carry):
             source, T_icp, dx_norm, it, done, confirmed, moved, s = carry
             fresh = s == 0
-            nbr, dist, found = nn_from_cache(cache, grid.points, source, mask)
-            accept = found & (dist < max_dist)
-            JTJ, JTr, n_corr = build_linear_system(source, nbr, accept, kernel, center)
+            if use_fused:
+                # One streaming pass over the champion cache: NN + acceptance
+                # gate + robust normal equations (`ops/gn_kernel.py`).
+                from vfmreg_tpu.ops.gn_kernel import (
+                    assemble_gn_system,
+                    gn_moments_from_cache,
+                )
+
+                m = gn_moments_from_cache(
+                    cache.cx, cache.cy, cache.cz, source, center, kernel, max_dist
+                )
+                JTJ, JTr, n_corr = assemble_gn_system(m)
+            else:
+                nbr, dist, found = nn_from_cache(cache, grid.points, source, mask)
+                accept = found & (dist < max_dist)
+                JTJ, JTr, n_corr = build_linear_system(
+                    source, nbr, accept, kernel, center
+                )
             dx = gn_step(JTJ, JTr, n_corr)
             est_world = _conjugate_translation(exp_se3(dx), center)
             source = transform_points(source, est_world)

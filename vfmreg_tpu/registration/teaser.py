@@ -6,15 +6,18 @@ Replaces `teaser.RobustRegistrationSolver` as configured at
 PMC max-clique inlier selection, CHAIN rotation TIM graph, GNC-TLS rotation
 (factor 1.4, <=10000 iters, cost threshold 1e-16).
 
-TPU-first differences:
+TPU-first design:
   * the pairwise consistency graph is a dense [N, N] boolean matmul-shaped
     computation (subsampled to <= `max_graph_nodes` correspondences);
-  * PMC's exact branch-and-bound max clique is replaced by k-core peeling plus
-    greedy expansion restarted from the highest-degree seeds — a standard
-    heuristic whose cliques are near-maximum on registration consistency graphs
-    (exact PMC is NP-hard and serial; divergence documented here);
-  * GNC-TLS runs as a fixed-shape `lax.while_loop` with vmapped closed-form
-    rotation updates (Kabsch on weighted TIMs).
+  * TWO inlier-selection paths: `teaser_registration` (fully jitted, k-core
+    peel + greedy clique expansion — fast, device-only) and
+    `teaser_registration_exact` (the reference-faithful path: EXACT maximum
+    clique by host-side bitset branch-and-bound, `registration.max_clique`,
+    matching PMC_EXACT; the solve still runs jitted). The harness uses the
+    exact path;
+  * GNC-TLS rotation runs as a fixed-shape `lax.while_loop` with closed-form
+    weighted-Kabsch updates on CHAIN TIMs; translation is exact per-axis
+    scalar TLS by adaptive voting (`_scalar_tls`).
 """
 
 from __future__ import annotations
@@ -123,21 +126,38 @@ def _gnc_tls_rotation(a, b, w_mask, noise_bound, cbar2, gnc_factor, max_iters, c
     return R, w
 
 
-def _tls_translation(residuals, w_mask, noise_bound):
-    """Component-wise truncated estimate: median of inlier-window values.
+def _scalar_tls(v, w_mask, beta, cbar2):
+    """Exact scalar TLS by adaptive voting (TEASER's `solveForTranslation` /
+    Yang & Carlone component-wise translation):
+      min_t sum_i min((v_i - t)^2 / beta^2, cbar2).
+    The optimum's consensus set is delimited by the 2N boundaries v_i -+
+    beta*sqrt(cbar2); evaluate the truncated cost at the inlier-mean of every
+    boundary-interval midpoint and take the argmin."""
+    half = beta * jnp.sqrt(cbar2)
+    big = jnp.float32(1e30)
+    vv = jnp.where(w_mask, v, big)
+    bounds = jnp.sort(jnp.concatenate([vv - half, vv + half]))
+    mids = 0.5 * (bounds[1:] + bounds[:-1])  # [2N-1] candidate windows
 
-    TEASER solves scalar TLS per axis; the median over the accepted window is its
-    robust equivalent at these sizes.
-    """
-    from vfmreg_tpu.ops.matching import masked_median
+    inl = w_mask[None, :] & (jnp.abs(v[None, :] - mids[:, None]) <= half)  # [C, N]
+    cnt = jnp.maximum(jnp.sum(inl, axis=1), 1)
+    est = jnp.sum(jnp.where(inl, v[None, :], 0.0), axis=1) / cnt  # consensus mean
 
-    out = []
-    for k in range(3):
-        v = residuals[:, k]
-        med = masked_median(v, w_mask)
-        keep = w_mask & (jnp.abs(v - med) <= noise_bound)
-        out.append(masked_median(v, keep))
-    return jnp.stack(out)
+    r2 = jnp.square(v[None, :] - est[:, None]) / jnp.square(beta)
+    cost = jnp.sum(
+        jnp.where(w_mask[None, :], jnp.where(inl, r2, cbar2), 0.0), axis=1
+    )
+    valid = jnp.isfinite(mids) & (jnp.abs(mids) < big / 2)
+    cost = jnp.where(valid, cost, jnp.inf)
+    return est[jnp.argmin(cost)]
+
+
+def _tls_translation(residuals, w_mask, noise_bound, cbar2=1.0):
+    """Component-wise scalar TLS (`registration_node.py:112-127` solver config;
+    TEASER estimates each translation axis by exact adaptive voting)."""
+    return jnp.stack(
+        [_scalar_tls(residuals[:, k], w_mask, noise_bound, cbar2) for k in range(3)]
+    )
 
 
 @partial(jax.jit, static_argnames=("max_graph_nodes", "max_iters"))
@@ -164,6 +184,15 @@ def teaser_registration(
     adj = _consistency_graph(src_s, tgt_s, mask_s, noise_bound, cbar2)
     clique = _greedy_clique(adj) & mask_s
 
+    pose, w = _solve_on_clique(
+        src_s, tgt_s, clique, noise_bound, cbar2, gnc_factor, max_iters, cost_threshold
+    )
+    inlier_full = jnp.zeros_like(mask).at[order[:max_graph_nodes]].set(clique)
+    return TeaserResult(pose=pose, inlier_mask=inlier_full, rotation_weights=w)
+
+
+def _solve_on_clique(src_s, tgt_s, clique, noise_bound, cbar2, gnc_factor, max_iters, cost_threshold):
+    """GNC-TLS rotation + component-wise TLS translation over a clique mask."""
     # CHAIN TIMs over the clique (consecutive differences of compacted members).
     corder = jnp.argsort(~clique, stable=True)
     csrc, ctgt, cmask = src_s[corder], tgt_s[corder], clique[corder]
@@ -173,11 +202,63 @@ def teaser_registration(
 
     R, w = _gnc_tls_rotation(a, b, tim_mask, noise_bound, cbar2, gnc_factor, max_iters, cost_threshold)
 
-    t = _tls_translation(ctgt - csrc @ R.T, cmask, noise_bound)
+    t = _tls_translation(ctgt - csrc @ R.T, cmask, noise_bound, cbar2)
 
     pose = jnp.eye(4, dtype=jnp.float32)
     pose = pose.at[:3, :3].set(R)
     pose = pose.at[:3, 3].set(t)
+    return pose, w
 
-    inlier_full = jnp.zeros_like(mask).at[order[:max_graph_nodes]].set(clique)
-    return TeaserResult(pose=pose, inlier_mask=inlier_full, rotation_weights=w)
+
+@partial(jax.jit, static_argnames=("max_iters",))
+@full_precision
+def _teaser_solve_jit(src_s, tgt_s, clique, noise_bound, cbar2, gnc_factor, max_iters, cost_threshold):
+    return _solve_on_clique(
+        src_s.astype(jnp.float32), tgt_s.astype(jnp.float32), clique,
+        noise_bound, cbar2, gnc_factor, max_iters, cost_threshold,
+    )
+
+
+def teaser_registration_exact(
+    src,
+    tgt,
+    mask,
+    noise_bound=0.2,
+    cbar2=1.0,
+    gnc_factor=1.4,
+    max_iters: int = 100,
+    cost_threshold=1e-16,
+    max_graph_nodes: int = 512,
+) -> TeaserResult:
+    """TEASER with the reference's EXACT max-clique inlier selection.
+
+    The consistency graph is computed in numpy, the maximum clique by bitset
+    branch-and-bound (`registration.max_clique`, the PMC_EXACT equivalent of
+    `registration_node.py:117`), and the GNC-TLS/TLS solve runs jitted on the
+    clique. Host entry point (the clique search is inherently serial)."""
+    import numpy as np
+
+    from vfmreg_tpu.registration.max_clique import max_clique
+
+    src = np.asarray(src, dtype=np.float32)
+    tgt = np.asarray(tgt, dtype=np.float32)
+    mask = np.asarray(mask, dtype=bool)
+    order = np.argsort(~mask, kind="stable")
+    sel = order[:max_graph_nodes]
+    src_s, tgt_s, mask_s = src[sel], tgt[sel], mask[sel]
+
+    d_src = np.linalg.norm(src_s[:, None, :] - src_s[None, :, :], axis=-1)
+    d_tgt = np.linalg.norm(tgt_s[:, None, :] - tgt_s[None, :, :], axis=-1)
+    adj = np.abs(d_src - d_tgt) <= 2.0 * noise_bound * np.sqrt(cbar2)
+    adj &= mask_s[:, None] & mask_s[None, :]
+    np.fill_diagonal(adj, False)
+
+    clique = max_clique(adj) & mask_s
+    pose, w = _teaser_solve_jit(
+        jnp.asarray(src_s), jnp.asarray(tgt_s), jnp.asarray(clique),
+        jnp.float32(noise_bound), jnp.float32(cbar2), jnp.float32(gnc_factor),
+        max_iters, jnp.float32(cost_threshold),
+    )
+    inlier_full = np.zeros_like(mask)
+    inlier_full[sel] = clique
+    return TeaserResult(pose=pose, inlier_mask=jnp.asarray(inlier_full), rotation_weights=w)
