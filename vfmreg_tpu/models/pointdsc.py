@@ -270,30 +270,48 @@ def load_pointdsc_state_dict(state_dict: Dict[str, np.ndarray], num_layers=12) -
 class PointDSCModel:
     """Host-facing wrapper with the harness's `register(src, tgt)` interface."""
 
-    def __init__(self, params: Optional[Dict[str, Any]] = None, seed: int = 0, max_corr: int = 2048):
+    def __init__(self, params: Optional[Dict[str, Any]] = None, seed: int = 0, max_corr: int = 10000):
+        # Reference scale: `pointsdc_registration` feeds up to n_points=10000
+        # correspondences (`registration_node.py:211-214`). The [N, N]
+        # compatibility/attention matrices are 400 MB f32 at 10k — fine in HBM.
         if params is None:
             params = init_pointdsc_params(jax.random.PRNGKey(seed))
         self.params = params
         self.max_corr = max_corr
 
+    @staticmethod
+    def _bucket(n: int) -> int:
+        """Pad to coarse buckets so shape-specialized jits are reused."""
+        b = 512
+        while b < n:
+            b *= 2
+        return b
+
     def register(self, src_keypts: np.ndarray, tgt_keypts: np.ndarray) -> np.ndarray:
         n = src_keypts.shape[0]
         if n > self.max_corr:
-            # The [N, N] compatibility matrix caps the correspondence budget on
-            # device; subsample uniformly (reference feeds up to 10k and pays
-            # O(N^2) memory — 10k^2 floats is fine on HBM, but seeds scale too).
             idx = np.linspace(0, n - 1, self.max_corr).astype(int)
             src_keypts, tgt_keypts = src_keypts[idx], tgt_keypts[idx]
             n = self.max_corr
         corr_pos = np.c_[src_keypts, tgt_keypts]
         corr_pos = corr_pos - corr_pos.mean(0)  # `registration_node.py:218-219`
-        mask = np.ones(n, dtype=bool)
+        nb = min(self._bucket(n), self.max_corr)
+        pad = nb - n
+        mask = np.zeros(nb, dtype=bool)
+        mask[:n] = True
+        corr_pos = np.pad(corr_pos, ((0, pad), (0, 0)))
+        src_p = np.pad(src_keypts, ((0, pad), (0, 0)))
+        tgt_p = np.pad(tgt_keypts, ((0, pad), (0, 0)))
         out = pointdsc_forward(
             self.params,
             jnp.asarray(corr_pos, dtype=jnp.float32),
-            jnp.asarray(src_keypts, dtype=jnp.float32),
-            jnp.asarray(tgt_keypts, dtype=jnp.float32),
+            jnp.asarray(src_p, dtype=jnp.float32),
+            jnp.asarray(tgt_p, dtype=jnp.float32),
             jnp.asarray(mask),
+            # Seed count: the reference's num_corr * 0.1, rounded UP to a
+            # multiple of 32 so shape-specialized jits are reused across close
+            # n (extra seeds only add hypotheses).
+            ratio_num=-(-max(n // 10, 1) // 32) * 32,
         )
         return np.asarray(out["final_trans"], dtype=np.float64)
 
