@@ -88,3 +88,34 @@ def test_sharded_ransac_matches_single_device(rng):
     true_rmse = np.sqrt(np.mean(np.sum((src @ T[:3, :3].T + T[:3, 3] - tgt) ** 2, -1)))
     assert float(rmse) <= true_rmse + 1e-4
     assert np.isfinite(pose).all()
+
+
+def test_harness_uses_sharded_ransac_on_mesh(tmp_path):
+    """With >1 device visible (the 8-device CPU mesh), RegistrationNode shards
+    its RANSAC budget over the mesh and the end-to-end registration still
+    succeeds (VERDICT r1 item 8)."""
+    import jax
+
+    from tests.test_harness import make_world
+    from vfmreg_tpu.data.h5io import save_scene
+    from vfmreg_tpu.pipeline.registration_node import RegistrationNode
+
+    assert len(jax.devices()) > 1  # conftest forces the virtual 8-CPU mesh
+
+    rng = np.random.RandomState(3)
+    pts, feats = make_world(rng, n=4000)
+    T = np.eye(4)
+    keep = np.abs(pts[:, 0]) < 45
+    map_cloud = np.c_[pts[keep], feats[keep]]
+    Ts = np.eye(4)
+    Ts[:3, 3] = [4.0, 2.0, 0.0]
+    sel = rng.choice(len(pts), 2000, replace=False)
+    scan_cloud = np.c_[pts[sel] - Ts[:3, 3], feats[sel]]
+    save_scene(tmp_path / "scene_000.h5", ["m", "s"], [T], [map_cloud], [Ts], [scan_cloud])
+
+    node = RegistrationNode(
+        tmp_path, methods_ransac=[("vfm", False)], methods_teaser=[], methods_pointdsc=[]
+    )
+    assert node._sharded_ransac is not None
+    node.make_step()
+    assert node.compute_success_rate("vfm_ransac", 0.6, 1.5) == 1.0

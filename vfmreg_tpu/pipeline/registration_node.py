@@ -36,7 +36,7 @@ from vfmreg_tpu.ops.matching import mutual_nn_correspondences
 from vfmreg_tpu.ops.voxel import bucket_size
 from vfmreg_tpu.registration.ransac import ransac_registration as _device_ransac
 from vfmreg_tpu.registration.ransac import snap_correspondences
-from vfmreg_tpu.registration.teaser import teaser_registration as _device_teaser
+from vfmreg_tpu.registration.teaser import teaser_registration_exact as _device_teaser
 from vfmreg_tpu.utils import print_msg, transform_pcl
 
 # Reference budgets (`registration_node.py:319-327`, `:112-127`).
@@ -136,6 +136,19 @@ class RegistrationNode:
         self.methods_pointdsc = available(
             methods_pointdsc if methods_pointdsc is not None else [("fpfh", True), ("fcgf", True)]
         )
+
+        # Multi-chip: shard the RANSAC hypothesis budget over a 1-D device
+        # mesh (`parallel.mesh.sharded_ransac`, psum/pmin winner broadcast).
+        # Single-device runs keep the plain vmapped path.
+        self._sharded_ransac = None
+        if len(jax.devices()) > 1:
+            from vfmreg_tpu.parallel.mesh import make_mesh, sharded_ransac
+
+            self.mesh = make_mesh()
+            self._sharded_ransac = sharded_ransac(
+                self.mesh, num_hypotheses=RANSAC_HYPOTHESES
+            )
+            print(f"Mesh: sharding RANSAC over {len(jax.devices())} devices")
 
         self.config = load_config(None, deskew=False, max_range=None)
         print("Sigma:", self.config.adaptive_threshold.initial_threshold)
@@ -240,14 +253,20 @@ class RegistrationNode:
         n_kept = int(np.asarray(snap_mask).sum())
         print(f"[{method}] Correspondences after filtering: {n_kept}")
 
-        res = _device_ransac(
-            snapped_src,
-            snapped_tgt,
-            snap_mask,
-            jax.random.PRNGKey(self.scan_idx),
-            num_hypotheses=RANSAC_HYPOTHESES,
-        )
-        ransac_pose = np.asarray(res.pose, dtype=np.float64)
+        if self._sharded_ransac is not None:
+            pose_dev, _ = self._sharded_ransac(
+                snapped_src, snapped_tgt, snap_mask, jax.random.PRNGKey(self.scan_idx)
+            )
+            ransac_pose = np.asarray(pose_dev, dtype=np.float64)
+        else:
+            res = _device_ransac(
+                snapped_src,
+                snapped_tgt,
+                snap_mask,
+                jax.random.PRNGKey(self.scan_idx),
+                num_hypotheses=RANSAC_HYPOTHESES,
+            )
+            ransac_pose = np.asarray(res.pose, dtype=np.float64)
 
         if run_icp:
             ransac_pose[:3, :3] = orthogonalize(ransac_pose[:3, :3])
