@@ -1,17 +1,23 @@
 """Benchmark: scan-to-map VFM registrations per second on the available device.
 
-Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+with the PRIMARY number measured at the reference's production scale
+(524k-point map / 16k-point scans / 384-d descriptors,
+`registration_node.py:568-578`) under the reference iteration budget
+(max_iterations=1000, `Registration.cpp:92`); the legacy small-scale workload
+is reported alongside in the `secondary` key.
 
 Baseline (BASELINE.json): >= 50 scan-to-map registrations/sec target on v5e-8;
 vs_baseline is reported against that north star normalized to one chip
 (50/8 = 6.25 reg/s/chip).
 
-Workload: B=8 scan-map pairs per dispatch (map 8192 pts, scan 1024 pts, 384-d
-descriptors), full pipeline per pair: device hash-grid build -> cosine 1-NN VFM
-correspondences -> VFM-ICP (MAD-filtered GN phase + geometric phase with
-candidate-cached 27-voxel NN) — staged as two jits (the monolithic program
-stresses the remote-compile path; the split compiles in seconds and costs one
-extra ~20ms dispatch per step).
+Per-dispatch flow (the paper's headline method, `ransac/vfm` path):
+  map -> device hash grid (built once per batch, amortized over B scans);
+  per scan: 5 m voxel downsample -> cosine 1-NN VFM correspondences vs the
+  full map -> VFM-ICP (MAD-filtered GN phase + geometric phase with the
+  champion-cached 27-voxel NN). Staged as two jits (match | register) — the
+  monolithic program stresses the remote-compile path; the split compiles in
+  seconds and costs one extra dispatch per step.
 """
 
 import json
@@ -41,62 +47,107 @@ def _enable_compilation_cache():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 
 
-def main():
+def _shared_map_batch(batch, n_map, n_scan, d, seed=0):
+    """One world map + `batch` scans sampled from it (scene-registration shape)."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    mp = np.c_[
+        rng.uniform(-100, 100, (n_map, 2)), rng.uniform(0, 8, (n_map, 1))
+    ].astype(np.float32)
+    W = rng.normal(size=(3, d)).astype(np.float32)
+    mf = np.sin(mp @ W * 0.1).astype(np.float32)
+    scans, sfeats = [], []
+    for _ in range(batch):
+        sel = rng.choice(n_map, n_scan, replace=False)
+        scans.append(mp[sel] + rng.normal(0, 0.02, (n_scan, 3)).astype(np.float32))
+        sfeats.append(mf[sel])
+    return mp, mf, np.stack(scans), np.stack(sfeats)
+
+
+def _run_workload(batch, n_map, n_scan, d, n_vfm, max_iterations, iters):
     import jax
     import jax.numpy as jnp
 
-    _enable_compilation_cache()
-
-    from __graft_entry__ import _synthetic_batch
     from vfmreg_tpu.ops.hash_grid import build_hash_grid
     from vfmreg_tpu.ops.matching import get_vfm_correspondences
+    from vfmreg_tpu.ops.voxel import voxel_down_sample_masked
     from vfmreg_tpu.registration.vfm_icp import register_frame_vfm
 
-    batch, n_map, n_scan, d = 8, 8192, 1024, 384
-    args = tuple(jnp.asarray(a) for a in _synthetic_batch(batch, n_map, n_scan, d))
-    mp, mf, mm, sp, sf, sm = args
+    mp, mf, sp, sf = _shared_map_batch(batch, n_map, n_scan, d)
+    mp, mf = jnp.asarray(mp), jnp.asarray(mf)
+    sp, sf = jnp.asarray(sp), jnp.asarray(sf)
+    mm = jnp.ones((n_map,), bool)
+    sm = jnp.ones((batch, n_scan), bool)
 
     @jax.jit
     def match(mp, mf, mm, sp, sf, sm):
-        def one(mp, mf, mm, sp, sf, sm):
-            grid = build_hash_grid(mp, 1.0, mask=mm, feats=mf)
-            corr = get_vfm_correspondences(grid.points, grid.feats, grid.valid, sp, sf, sm)
-            return grid, corr
+        grid = build_hash_grid(mp, 1.0, mask=mm, feats=mf)
 
-        return jax.vmap(one)(mp, mf, mm, sp, sf, sm)
+        def one(s, f, m):
+            # 5 m voxelize the scan -> small query set (`Registration.cpp:217`)
+            p5, f5, m5 = voxel_down_sample_masked(s, 5.0, mask=m, feats=f)
+            p5, f5, m5 = p5[:n_vfm], f5[:n_vfm], m5[:n_vfm]
+            return get_vfm_correspondences(
+                grid.points, grid.feats, grid.valid, p5, f5, m5
+            )
+
+        return grid, jax.vmap(one)(sp, sf, sm)
 
     @jax.jit
-    def register(grids, sp, sm, corrs):
-        def one(grid, s, m, corr):
+    def register(grid, sp, sm, corrs):
+        def one(s, m, corr):
             pose, _, _, _ = register_frame_vfm(
                 grid, s, m, corr, jnp.eye(4, dtype=jnp.float32), 6.0, 0.667,
-                max_iterations=100,
+                max_iterations=max_iterations,
             )
             return pose
 
-        return jax.vmap(one)(grids, sp, sm, corrs)
+        return jax.vmap(one)(sp, sm, corrs)
 
     # Warmup / compile.
-    grids, corrs = match(*args)
-    poses = register(grids, sp, sm, corrs)
+    grid, corrs = match(mp, mf, mm, sp, sf, sm)
+    poses = register(grid, sp, sm, corrs)
     poses.block_until_ready()
 
-    iters = 10
     t0 = time.perf_counter()
     for _ in range(iters):
-        grids, corrs = match(*args)
-        poses = register(grids, sp, sm, corrs)
+        grid, corrs = match(mp, mf, mm, sp, sf, sm)
+        poses = register(grid, sp, sm, corrs)
     poses.block_until_ready()
     dt = time.perf_counter() - t0
+    return batch * iters / dt
 
-    reg_per_sec = batch * iters / dt
+
+def main():
+    _enable_compilation_cache()
+
+    # PRIMARY: reference production scale, reference iteration budget.
+    real = _run_workload(
+        batch=8, n_map=524288, n_scan=16384, d=384, n_vfm=512,
+        max_iterations=1000, iters=5,
+    )
+    # SECONDARY: legacy small-scale workload (dense-coverage regime).
+    small = _run_workload(
+        batch=8, n_map=8192, n_scan=1024, d=384, n_vfm=1024,
+        max_iterations=1000, iters=10,
+    )
+
     print(
         json.dumps(
             {
                 "metric": "scan_to_map_registrations_per_sec",
-                "value": round(reg_per_sec, 3),
-                "unit": "reg/s (1 chip, B=8, map=8192, scan=1024, D=384, full VFM pipeline)",
-                "vs_baseline": round(reg_per_sec / BASELINE_REG_PER_SEC_PER_CHIP, 3),
+                "value": round(real, 3),
+                "unit": (
+                    "reg/s (1 chip, map=524288, scan=16384, D=384, B=8, "
+                    "1000-iter budget, full VFM pipeline incl. grid build)"
+                ),
+                "vs_baseline": round(real / BASELINE_REG_PER_SEC_PER_CHIP, 3),
+                "secondary": {
+                    "metric": "small_scale_registrations_per_sec",
+                    "value": round(small, 3),
+                    "unit": "reg/s (1 chip, map=8192, scan=1024, D=384, B=8)",
+                },
             }
         )
     )
