@@ -190,6 +190,7 @@ def test_nclt_loader(mini_nclt):
         assert v.min() >= 0 and v.max() < 820
 
 
+@pytest.mark.slow
 def test_prepare_scene_nclt(mini_nclt, tmp_path):
     from vfmreg_tpu.data.h5io import read_scenes
     from vfmreg_tpu.models.image_features import ImageFeatureGenerator

@@ -87,6 +87,7 @@ def test_generic_dataset_ply(tmp_path):
     np.testing.assert_allclose(np.asarray(frame)[:, :3], pts, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_radius_knn_matches_bruteforce(rng):
     from vfmreg_tpu.ops.hash_grid import build_hash_grid
     from vfmreg_tpu.ops.knn import radius_knn

@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from vfmreg_tpu.ops.hash_grid import build_hash_grid, nearest_neighbors, export_pointcloud
@@ -107,6 +108,7 @@ def test_feats_sorted_alongside(rng):
     )
 
 
+@pytest.mark.slow
 def test_slab_and_aos_candidate_views_agree(rng):
     """The SoA slab path (hot ICP path) and the AoS convenience view select the
     same nearest neighbors, and row_global maps back to the exact stored rows."""
@@ -135,10 +137,9 @@ def test_slab_and_aos_candidate_views_agree(rng):
     )
 
     # row_global round-trip: every valid candidate equals the stored point row.
-    slabs = np.asarray(cands.slabs)
-    n, t, sl, tg = slabs.shape
-    r, g = t * sl, tg // 3
-    cand_soa = slabs.reshape(n, r, 3, g).transpose(0, 1, 3, 2).reshape(n, r * g, 3)
+    xs, ys, zs = (np.asarray(a) for a in cands.coords())
+    n = xs.shape[0]
+    cand_soa = np.stack([xs, ys, zs], axis=-1).reshape(n, -1, 3)
     rowg = np.asarray(cands.row_global())
     okm = np.asarray(cands.ok())
     stored = np.asarray(grid.points)
@@ -146,6 +147,7 @@ def test_slab_and_aos_candidate_views_agree(rng):
     np.testing.assert_allclose(cand_soa[sel], stored[rowg[sel]], atol=0)
 
 
+@pytest.mark.slow
 def test_nn_kernel_matches_fallback(rng):
     """Pallas nn_argmin (interpret mode) == the jnp cached-NN fallback, and the
     cached-NN path agrees with the exact slab NN through the public API."""
@@ -185,6 +187,7 @@ def test_nn_kernel_matches_fallback(rng):
     np.testing.assert_allclose(np.asarray(pt_c)[fm], np.asarray(pt_s)[fm], atol=1e-6)
 
 
+@pytest.mark.slow
 def test_gn_kernel_matches_build_linear_system(rng):
     """Fused GN-moments kernel (interpret mode) == nn_from_cache +
     build_linear_system on the same champion cache."""

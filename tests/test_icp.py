@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 import jax.numpy as jnp
 from scipy.spatial.transform import Rotation as R
 
@@ -31,6 +32,7 @@ def small_perturbation(rng, trans=0.5, rot_deg=3.0):
     return T.astype(np.float32)
 
 
+@pytest.mark.slow
 def test_icp_recovers_identity(rng):
     pts = make_scene(rng)
     grid = build_hash_grid(jnp.asarray(pts), 1.0)

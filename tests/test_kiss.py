@@ -60,6 +60,7 @@ def test_voxel_hash_map_update_transforms(rng):
     assert abs(pc[:, 0].mean() - 10.0) < 1.0
 
 
+@pytest.mark.slow
 def test_get_correspondences_api(rng):
     m = VoxelHashMap(voxel_size=1.0, max_distance=100.0, max_points_per_voxel=20)
     pts = rng.uniform(-10, 10, (500, 3)).astype(np.float32)
@@ -129,6 +130,7 @@ class CorridorDataset:
         return self.frames[idx]
 
 
+@pytest.mark.slow
 def test_kiss_icp_odometry_straight_line():
     # voxel = max_range/100 = 1.0 -> 27-voxel search reach ~2 m > 1 m/frame motion
     config = load_config(None, deskew=False, max_range=None)
@@ -173,6 +175,7 @@ def test_register_frame_empty_map_returns_guess(rng):
     np.testing.assert_allclose(pose, guess)
 
 
+@pytest.mark.slow
 def test_register_frame_vfm_dispatch(rng):
     """[N, 3+D] against a descriptor map goes through the VFM path and recovers
     an offset that pure geometry could not."""
@@ -195,6 +198,7 @@ def test_register_frame_vfm_dispatch(rng):
     assert src.shape == tgt.shape and src.shape[0] > 0
 
 
+@pytest.mark.slow
 def test_odometry_cli_generic(tmp_path, rng):
     """The odometry CLI end-to-end on a generic .bin directory."""
     import subprocess
@@ -220,6 +224,7 @@ def test_odometry_cli_generic(tmp_path, rng):
     assert (tmp_path / "results" / "latest" / "scans_poses_kitti.txt").exists()
 
 
+@pytest.mark.slow
 def test_device_resident_map_matches_host(rng):
     """Device-resident incremental updates == host/native map semantics:
     same kept point set after caps + far-voxel eviction across several frames."""
@@ -260,6 +265,7 @@ def test_device_resident_eviction(rng):
     assert pc.shape[0] == 1
 
 
+@pytest.mark.slow
 def test_device_resident_map_with_descriptors(rng):
     """Descriptor columns ride along through device-resident updates."""
     from vfmreg_tpu.kiss.mapping import VoxelHashMap

@@ -14,6 +14,8 @@ from vfmreg_tpu.ops.pointnet2 import (
     three_nn,
 )
 
+pytestmark = pytest.mark.slow
+
 
 def test_fps_spreads_points(rng):
     pts = rng.uniform(-10, 10, (1, 500, 3)).astype(np.float32)

@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -134,6 +135,7 @@ def test_mutual_nn_topk(rng):
     assert set(np.flatnonzero(kept)) == set(np.argsort(d)[:10])
 
 
+@pytest.mark.slow
 def test_pallas_cosine_argmax_matches_scan(rng):
     """The Pallas fused kernel (interpret mode on CPU) matches the streaming path."""
     import jax.numpy as jnp

@@ -71,6 +71,7 @@ def test_transform_service_roundtrip(rng):
     np.testing.assert_allclose(pose2, pose, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_maskclip_forward_shapes(rng):
     import jax
     import jax.numpy as jnp
@@ -124,6 +125,7 @@ def test_jbu_upsample_edge_aware(rng):
     assert up[32, 34, 0] > 0.85
 
 
+@pytest.mark.slow
 def test_featup_path_in_generator(rng):
     from tests_vit_config import SMALL_VIT
 

@@ -1,6 +1,7 @@
 """Device-mesh parallel registration on the virtual 8-device CPU mesh."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 from scipy.spatial.transform import Rotation as R
@@ -38,6 +39,7 @@ def _make_pairs(rng, b, m, n, d=16):
     return map_pts, map_feats, masks_m, scan_pts, scan_feats, masks_n, poses
 
 
+@pytest.mark.slow
 def test_batched_registration(rng):
     b, m, n = 2, 1024, 256
     mp, mf, mm, sp, sf, sm, poses = _make_pairs(rng, b, m, n)
@@ -51,6 +53,7 @@ def test_batched_registration(rng):
     assert (np.asarray(counts) > 0).all()
 
 
+@pytest.mark.slow
 def test_sharded_registration(rng):
     mesh = make_mesh()
     b = len(jax.devices())

@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 from scipy.spatial.transform import Rotation as R
@@ -18,6 +19,7 @@ def make_corrs(rng, n=400, outlier_frac=0.6, noise=0.03):
     return src, tgt, T
 
 
+@pytest.mark.slow
 def test_pointdsc_shapes(rng):
     params = init_pointdsc_params(jax.random.PRNGKey(0), num_layers=2)
     src, tgt, T = make_corrs(rng, n=128, outlier_frac=0.3)
@@ -33,6 +35,7 @@ def test_pointdsc_shapes(rng):
     assert np.all(np.isfinite(np.asarray(out["final_trans"])))
 
 
+@pytest.mark.slow
 def test_pointdsc_spatial_consistency_recovers_pose(rng):
     """Even with random network weights, the spatial-consistency power iteration
     + inlier-count selection + post-refinement recover the pose at ~40% outliers (the learned
@@ -48,6 +51,7 @@ def test_pointdsc_spatial_consistency_recovers_pose(rng):
     assert te < 0.1 and re < 1.0, (te, re)
 
 
+@pytest.mark.slow
 def test_pointdsc_subsamples_large_input(rng):
     model = PointDSCModel(seed=0, max_corr=256)
     src, tgt, T = make_corrs(rng, n=1000, outlier_frac=0.2, noise=0.02)

@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 from scipy.spatial.transform import Rotation as R
 
 from vfmreg_tpu.registration.pose_graph import PoseGraphOptimizer
@@ -11,6 +12,7 @@ def _se3(t, yaw_deg=0.0):
     return T
 
 
+@pytest.mark.slow
 def test_pose_graph_odometry_chain_with_loop(rng):
     """Square loop with drifting odometry: the loop closure pulls the last
     pose back to the origin."""
@@ -43,6 +45,7 @@ def test_pose_graph_odometry_chain_with_loop(rng):
     assert np.linalg.norm(poses[4][:3, 3]) < 0.15
 
 
+@pytest.mark.slow
 def test_pose_graph_consistency(rng):
     """With perfect measurements the solution matches ground truth."""
     gt = [_se3([i * 2.0, 0, 0], 10 * i) for i in range(6)]

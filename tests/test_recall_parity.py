@@ -23,6 +23,8 @@ import jax.numpy as jnp
 
 from vfmreg_tpu.geometry.metrics import compute_errors
 
+pytestmark = pytest.mark.slow
+
 GATE_RTE, GATE_RRE = 0.6, 1.5
 N_HYPOTHESES = 8192  # same budget for both pipelines
 D = 24

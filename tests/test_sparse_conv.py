@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -69,6 +70,7 @@ def test_downsample_coords():
     assert got == {(0, 0, 0), (2, 0, 0), (4, 4, 4)}
 
 
+@pytest.mark.slow
 def test_resunet_forward_shapes(rng):
     for cfg in (FCGF_CONFIG, GCL_CONFIG):
         params = init_resunet_params(jax.random.PRNGKey(0), cfg)

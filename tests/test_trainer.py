@@ -9,6 +9,8 @@ from jax.sharding import Mesh
 from vfmreg_tpu.models.vit import ViTConfig
 from vfmreg_tpu.train import TrainConfig, create_train_state, make_train_step
 
+pytestmark = pytest.mark.slow
+
 TINY = ViTConfig(
     hidden_size=64,
     num_layers=2,

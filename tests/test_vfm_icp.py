@@ -3,6 +3,7 @@ VFM-ICP (MAD-filtered GN + geometric refinement) recovers a large misalignment
 that pure geometric ICP cannot."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 from scipy.spatial.transform import Rotation as R
 
@@ -27,6 +28,7 @@ def make_descriptor_scene(rng, n=1500, d=32, extent=40.0):
     return pts, feats
 
 
+@pytest.mark.slow
 def test_vfm_icp_recovers_large_offset(rng):
     pts, feats = make_descriptor_scene(rng)
     T_true = np.eye(4, dtype=np.float32)

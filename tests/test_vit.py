@@ -77,6 +77,7 @@ def test_vit_matches_transformers_interpolated_grid(rng):
     np.testing.assert_allclose(got, theirs[:, 1:], atol=2e-4)
 
 
+@pytest.mark.slow
 def test_bicubic_matrix_matches_torch_interpolate(rng):
     torch = pytest.importorskip("torch")
     import torch.nn.functional as F
@@ -171,6 +172,7 @@ def test_adaptive_avg_pool_matches_torch(rng):
     np.testing.assert_allclose(mine, ref, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_jbu_stack_learned(rng):
     """Learned JBU stack: 16x upsample, finite, and hub-layout weights load."""
     from vfmreg_tpu.models.featup import (

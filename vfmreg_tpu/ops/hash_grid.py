@@ -11,9 +11,11 @@ map lives on device as sorted, padded arrays:
 * lookup = a packed open-addressing table ([H, 4] rows of (hash, start, count)),
   `_PROBES` unrolled linear-probe rounds of ONE wide gather each — no
   pointer-chasing, no host round-trips;
-* the 27-neighborhood NN query gathers each bucket run as 8-point SLABS (the
-  gather unit is row-rate-bound, so fewer/wider rows win) into a materialized
-  candidate set that the ICP loops CACHE across GN iterations.
+* every bucket's points additionally live in ONE bucket-aligned 128-lane
+  SLAB row ([x0..x31 | y0..y31 | z0..z31 | rowid0..31], sentinel-padded), so
+  the 27-neighborhood NN query is exactly 27 single-row gathers per query —
+  no window math, no mask arrays — into a materialized candidate set that the
+  ICP loops CACHE across GN iterations.
 
 Everything is fixed-shape; invalid rows carry +inf distances.
 """
@@ -38,15 +40,14 @@ from vfmreg_tpu.ops.voxel import INVALID_HASH, voxel_coords, voxel_hash
 # slot is odd.
 _PROBES = 7
 
-# Points are additionally exposed as G-row "slabs" so candidate gathers fetch
-# whole bucket runs in a few wide rows instead of per-point rows (the TPU
-# gather unit is row-rate-bound at ~6 ns/row regardless of row width).
-# Overridable for perf probes via VFMREG_SLAB (must be a power of 2).
-import os as _os
-
-_SLAB = int(_os.environ.get("VFMREG_SLAB", "8"))
-assert _SLAB & (_SLAB - 1) == 0 and _SLAB > 0
-_SLAB_SHIFT = _SLAB.bit_length() - 1
+# Every bucket owns ONE aligned slab row of exactly 128 lanes
+# ([x0..x31 | y0..y31 | z0..z31 | rowid0..31]): the candidate gather is a
+# single row per (query, neighbor-voxel) on the row-rate-bound gather unit,
+# dead lanes carry the INVALID_COORD sentinel (d2 overflows to +inf, so no
+# mask arrays are streamed), and the original point row rides in the spare
+# lanes as exact-in-f32 integers. Requires max_points_per_voxel <= 32 (the
+# reference uses 20, `config/config.py`).
+_SLAB = 32
 
 
 @partial(
@@ -54,7 +55,7 @@ _SLAB_SHIFT = _SLAB.bit_length() - 1
     data_fields=[
         "table",
         "points",
-        "points_slab",
+        "bucket_slab",
         "feats",
         "valid",
         "voxel_size",
@@ -73,7 +74,7 @@ class HashGrid:
 
     table: jnp.ndarray  # [H/2, 24] int32: packed (hash, start, count) x 8 slots
     points: jnp.ndarray  # [M, 3] f32, sorted by voxel hash
-    points_slab: jnp.ndarray  # [M/_SLAB, _SLAB*3] f32 slab view of `points`
+    bucket_slab: jnp.ndarray  # [M*S+2, 128] f32 aligned slab rows (S=ceil(cap/32))
     feats: Optional[jnp.ndarray]  # [M, D] f32 or None
     valid: jnp.ndarray  # [M] bool (sorted alongside points)
     voxel_size: jnp.ndarray  # f32 scalar
@@ -146,6 +147,30 @@ def build_hash_grid(
     rank = row - start_pp
     valid = mask_s & (rank < max_points_per_voxel) & ~evict_pt
 
+    # ----- bucket-aligned slab store ---------------------------------------
+    # S = ceil(cap/32) 128-lane rows per bucket: coords + original (sorted)
+    # row id, dead lanes = sentinel. Two extra all-sentinel rows at the end:
+    # n*S is the "empty slab" absent-voxel lookups redirect to; the final row
+    # absorbs dropped writes. S=1 for the registration grids (cap 20); FPFH's
+    # denser neighborhoods (cap <= 48) get S=2.
+    from vfmreg_tpu.ops.nn_kernel import INVALID_COORD
+
+    S = -(-max_points_per_voxel // _SLAB)
+    bucket_id = jnp.cumsum(is_start.astype(jnp.int32)) - 1
+    n_rows = n * S + 2
+    slab_ok = valid & (bucket_id >= 0)
+    flat0 = jnp.where(
+        slab_ok,
+        (bucket_id * S + rank // _SLAB) * 128 + rank % _SLAB,
+        (n_rows - 1) * 128,
+    )
+    bucket_slab = jnp.full((n_rows * 128,), jnp.float32(INVALID_COORD))
+    bucket_slab = bucket_slab.at[flat0].set(pts_s[:, 0], mode="drop")
+    bucket_slab = bucket_slab.at[flat0 + 32].set(pts_s[:, 1], mode="drop")
+    bucket_slab = bucket_slab.at[flat0 + 64].set(pts_s[:, 2], mode="drop")
+    bucket_slab = bucket_slab.at[flat0 + 96].set(row.astype(jnp.float32), mode="drop")
+    bucket_slab = bucket_slab.reshape(n_rows, 128)
+
     # ----- open-addressing table over the bucket set ------------------------
     # Linear-probing placement WITHOUT per-round scatter competition: sort the
     # buckets by base slot, then the classic parking-function identity gives
@@ -165,8 +190,9 @@ def build_hash_grid(
     ok = is_start[order2] & (placed - bs < _PROBES) & (placed < H)
     slot = jnp.where(ok, placed, H)  # H = write-off row, never read back
 
+    # Table rows carry (hash, bucket slab index, count).
     vals = jnp.stack(
-        [h_s[order2].astype(jnp.int32), start_pp[order2], count_pp[order2]], axis=1
+        [h_s[order2].astype(jnp.int32), bucket_id[order2], count_pp[order2]], axis=1
     )
     init = jnp.concatenate(
         [
@@ -193,13 +219,7 @@ def build_hash_grid(
     return HashGrid(
         table=table,
         points=pts_s,
-        # SoA within each slab row ([x0..x7, y0..y7, z0..z7]): distance math on
-        # gathered slabs then runs on contiguous G-lanes per coordinate with no
-        # AoS stride-3 shuffling.
-        points_slab=jnp.pad(pts_s, ((0, (-n) % _SLAB), (0, 0)))
-        .reshape(-1, _SLAB, 3)
-        .swapaxes(1, 2)
-        .reshape(-1, 3 * _SLAB),
+        bucket_slab=bucket_slab,
         feats=feats_s,
         valid=valid,
         voxel_size=jnp.asarray(voxel_size, dtype=jnp.float32),
@@ -311,115 +331,103 @@ def nearest_neighbors(
 
 
 class Candidates(NamedTuple):
-    """Gathered 27-voxel candidate set in SoA slab layout.
+    """Gathered 27-voxel candidate set: one bucket-aligned slab row per
+    neighbor voxel.
 
-    `slabs` [N, 27, S, 3G] rows are [x0..x_{G-1}, y0.., z0..]; `start`/`count`
-    [N, 27] are each neighbor bucket's row window in `grid.points`. Validity
-    masks and global row ids are recomputed from (start, count) on the fly —
-    iota math is free on the VPU, while materializing [N, 27*S*G] masks would
-    add ~40% HBM traffic to every cached-NN iteration.
+    `slabs` [N, 27, S, 128] rows are [x0..x31 | y0..y31 | z0..z31 | rowid0..31]
+    (S = ceil(cap/32) rows per bucket); dead lanes carry the INVALID_COORD
+    sentinel (their squared distances overflow to +inf) and a row id of M (out
+    of range). No window/mask state exists — validity IS the sentinel.
 
     Derived views: `ok()` [N, K] candidate validity, `row_global()` [N, K] map
-    back to rows of `grid.points`, with K = 27*S*G.
+    back to rows of `grid.points`, with K = 27*S*32.
     """
 
     slabs: jnp.ndarray
-    start: jnp.ndarray
-    count: jnp.ndarray
 
-    def _rows(self) -> jnp.ndarray:
-        n, _, s, _ = self.slabs.shape
-        G = _SLAB
-        slab0 = self.start >> _SLAB_SHIFT
-        slab_idx = slab0[..., None] + jnp.arange(s, dtype=jnp.int32)[None, None, :]
-        return (slab_idx[..., None] * G + jnp.arange(G, dtype=jnp.int32)).reshape(
-            n, 27, s * G
+    def coords(self):
+        """(xs, ys, zs) as [N, 27, S*32] views."""
+        n, v, S, _ = self.slabs.shape
+        return (
+            self.slabs[..., 0:32].reshape(n, v, S * 32),
+            self.slabs[..., 32:64].reshape(n, v, S * 32),
+            self.slabs[..., 64:96].reshape(n, v, S * 32),
         )
+
+    def rowids(self) -> jnp.ndarray:
+        n, v, S, _ = self.slabs.shape
+        return self.slabs[..., 96:128].reshape(n, v, S * 32)
 
     def row_global(self) -> jnp.ndarray:
         n = self.slabs.shape[0]
-        return self._rows().reshape(n, -1)
+        return self.rowids().astype(jnp.int32).reshape(n, -1)
 
     def ok(self) -> jnp.ndarray:
         n = self.slabs.shape[0]
-        rows = self._rows()
-        return (
-            (rows >= self.start[..., None]) & (rows < (self.start + self.count)[..., None])
-        ).reshape(n, -1)
+        return (self.slabs[..., 0:32] < 1e19).reshape(n, -1)
 
 
 def gather_candidate_slabs(
     grid: HashGrid, queries: jnp.ndarray, query_mask: Optional[jnp.ndarray] = None
 ) -> Candidates:
-    """27 hash lookups + one wide slab gather around each query.
+    """27 hash lookups + 27 single-row slab gathers around each query.
 
     Exactly the 27-voxel / first-cap candidate set of the reference's
     `GetClosestNeighbor` scan. The materialized candidates are CACHED across GN
     iterations by the ICP loops (see `registration.icp`): between cache
     refreshes the NN is computed within this set only — this amortizes the
     (memory-rate-bound) candidate construction over several cheap VPU-only
-    iterations. Slab rows stay SoA so the cached-NN distance math runs on
-    contiguous G-lanes.
+    iterations.
     """
     n = queries.shape[0]
     if query_mask is None:
         query_mask = jnp.ones((n,), dtype=bool)
-    cap = grid.max_points_per_voxel
 
     base = voxel_coords(queries, grid.voxel_size)
     h27 = voxel_hash(base[:, None, :] + _NEIGHBOR_OFFSETS[None, :, :])
     h27 = jnp.where(query_mask[:, None], h27, INVALID_HASH)
-    start, count = _lookup_buckets(grid, h27)  # [N, 27]
-
-    # Slab gather: a bucket's (<= cap) run of consecutive rows spans at most
-    # n_slabs G-row slabs for any alignment; fetching slabs cuts gathered rows
-    # ~5x versus per-point rows on the row-rate-bound gather unit.
-    G = _SLAB
-    n_slabs = (cap + G - 2) // G + 1
-    num_slabs_total = grid.points_slab.shape[0]
-    slab0 = start >> _SLAB_SHIFT  # start // G
-    slab_idx = jnp.clip(
-        slab0[..., None] + jnp.arange(n_slabs, dtype=jnp.int32)[None, None, :],
-        0,
-        num_slabs_total - 1,
-    )  # [N, 27, n_slabs]
-    slabs = grid.points_slab[slab_idx]  # [N, 27, n_slabs, 3G]
-    # Rows gathered through a CLIPPED slab index are duplicates of the last
-    # slab; the recomputed (unclipped) row ids in `Candidates._rows` land >= M
-    # there and always fail the (start, count) window, so they are never
-    # selected.
-    return Candidates(slabs=slabs, start=start, count=count)
+    slab, count = _lookup_buckets(grid, h27)  # [N, 27] (bucket index, count)
+    S = -(-grid.max_points_per_voxel // _SLAB)
+    n_buckets = (grid.bucket_slab.shape[0] - 2) // S
+    slab = jnp.where(count > 0, slab, n_buckets)  # -> all-sentinel empty rows
+    rows27 = slab[..., None] * S + jnp.arange(S, dtype=jnp.int32)
+    rows27 = jnp.minimum(rows27, grid.bucket_slab.shape[0] - 2)
+    return Candidates(slabs=grid.bucket_slab[rows27])  # [N, 27, S, 128]
 
 
 def nn_from_slabs(
     cands: Candidates,
-    grid_points: jnp.ndarray,  # [M, 3] the grid's sorted point array
+    grid_points: jnp.ndarray,  # unused (kept for API compatibility)
     queries: jnp.ndarray,  # [N, 3]
     query_mask: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Closest cached candidate per query.
-
-    All distance math runs on the SoA slab rows (one [N, R, G] lane-contiguous
-    subtraction per coordinate, no stride-3 shuffles); the winning point is
-    fetched with a single N-row gather via `row_global` so the slab cache has
-    exactly one consumer and fuses cleanly.
-    """
+    """Closest cached candidate per query (sentinel-driven, no gathers)."""
     n = queries.shape[0]
     if query_mask is None:
         query_mask = jnp.ones((n,), dtype=bool)
-    G = _SLAB
-    slabs = cands.slabs.reshape(n, -1, 3 * G)  # [N, R, 3G]
-    dx = slabs[:, :, 0 * G : 1 * G] - queries[:, None, 0:1]
-    dy = slabs[:, :, 1 * G : 2 * G] - queries[:, None, 1:2]
-    dz = slabs[:, :, 2 * G : 3 * G] - queries[:, None, 2:3]
-    d2 = (dx * dx + dy * dy + dz * dz).reshape(n, -1)  # [N, K]
-    inf = jnp.float32(jnp.inf)
-    d2 = jnp.where(cands.ok(), d2, inf)
-    j = jnp.argmin(d2, axis=-1)
-    best_d2 = jnp.take_along_axis(d2, j[:, None], axis=-1)[:, 0]
-    best_row = jnp.take_along_axis(cands.row_global(), j[:, None], axis=-1)[:, 0]
-    best_pt = grid_points[jnp.clip(best_row, 0, grid_points.shape[0] - 1)]
+    xs, ys, zs = cands.coords()
+    xs = xs.reshape(n, -1)
+    ys = ys.reshape(n, -1)
+    zs = zs.reshape(n, -1)
+    dx = xs - queries[:, 0:1]
+    dy = ys - queries[:, 1:2]
+    dz = zs - queries[:, 2:3]
+    d2 = dx * dx + dy * dy + dz * dz  # sentinels overflow to +inf
+    best_d2 = jnp.min(d2, axis=-1)
+    iota = jnp.arange(d2.shape[-1], dtype=jnp.int32)[None, :]
+    k = jnp.min(jnp.where(d2 == best_d2[:, None], iota, jnp.int32(2**30)), axis=-1)
+    onehot = iota == k[:, None]
+    best_pt = jnp.stack(
+        [
+            jnp.sum(jnp.where(onehot, xs, 0.0), axis=-1),
+            jnp.sum(jnp.where(onehot, ys, 0.0), axis=-1),
+            jnp.sum(jnp.where(onehot, zs, 0.0), axis=-1),
+        ],
+        axis=1,
+    )
     found = jnp.isfinite(best_d2) & query_mask
+    best_pt = jnp.where(found[:, None], best_pt, 0.0)
+    inf = jnp.float32(jnp.inf)
     return best_pt, jnp.sqrt(jnp.where(found, best_d2, inf)), found
 
 
@@ -433,7 +441,7 @@ class NNCache(NamedTuple):
     approximation of the same class as the 27-voxel slack itself (both assume
     sub-voxel inter-refresh motion; `refresh_interval=1` restores exact
     per-iteration semantics). This cuts the per-iteration stream from
-    [N, 27*slabs*G] lanes to [N, 32] — the dominant cost of a GN iteration.
+    [N, 27*32] lanes to [N, 32] — the dominant cost of a GN iteration.
 
     Coordinates carry the `INVALID_COORD` sentinel in dead lanes (squared
     distances overflow to +inf — no mask array to stream); `rows` maps each
@@ -457,37 +465,28 @@ def build_nn_cache(
     """Reduce gathered slab candidates to per-voxel champions (see NNCache)."""
     from vfmreg_tpu.ops.nn_kernel import INVALID_COORD
 
-    n, _, n_slabs, _ = cands.slabs.shape
-    G = _SLAB
+    n = cands.slabs.shape[0]
     if query_mask is None:
         query_mask = jnp.ones((n,), dtype=bool)
 
-    slabs = cands.slabs  # [N, 27, S, 3G], rows [x0..x_{G-1}, y.., z..]
-    xs = slabs[..., 0 * G : 1 * G].reshape(n, 27, n_slabs * G)
-    ys = slabs[..., 1 * G : 2 * G].reshape(n, 27, n_slabs * G)
-    zs = slabs[..., 2 * G : 3 * G].reshape(n, 27, n_slabs * G)
+    xs, ys, zs = cands.coords()  # [N, 27, S*32]
     dx = xs - queries[:, None, 0:1]
     dy = ys - queries[:, None, 1:2]
     dz = zs - queries[:, None, 2:3]
-    d2 = dx * dx + dy * dy + dz * dz
+    d2 = dx * dx + dy * dy + dz * dz  # sentinels overflow to +inf
 
-    rows = cands._rows()  # [N, 27, S*G]
-    ok = (rows >= cands.start[..., None]) & (rows < (cands.start + cands.count)[..., None])
-    d2 = jnp.where(ok, d2, jnp.float32(jnp.inf))
-
-    # Champion per voxel WITHOUT gathers: min + one-hot selection sums. The
-    # take_along_axis form lowered to per-row HBM gathers (~50 ms at 16k x 27);
-    # the one-hot selects stream the already-resident candidate lanes instead.
+    # Champion per voxel WITHOUT gathers: min + one-hot selection sums.
+    lanes = d2.shape[-1]
     best_d2 = jnp.min(d2, axis=-1)  # [N, 27]
-    iota = jnp.arange(n_slabs * G, dtype=jnp.int32)
+    iota = jnp.arange(lanes, dtype=jnp.int32)
     ksel = jnp.min(
         jnp.where(d2 == best_d2[..., None], iota, jnp.int32(2**30)), axis=-1
     )  # ties -> lowest candidate index
-    onehot = iota[None, None, :] == ksel[..., None]  # [N, 27, S*G]
+    onehot = iota[None, None, :] == ksel[..., None]  # [N, 27, S*32]
     bx = jnp.sum(jnp.where(onehot, xs, 0.0), axis=-1)
     by = jnp.sum(jnp.where(onehot, ys, 0.0), axis=-1)
     bz = jnp.sum(jnp.where(onehot, zs, 0.0), axis=-1)
-    brow = jnp.sum(jnp.where(onehot, rows, 0), axis=-1)
+    brow = jnp.sum(jnp.where(onehot, cands.rowids(), 0.0), axis=-1).astype(jnp.int32)
 
     alive = jnp.isfinite(best_d2) & query_mask[:, None]
     bad = jnp.float32(INVALID_COORD)
@@ -560,8 +559,8 @@ def gather_candidates(
     the hot ICP path uses the slab form directly)."""
     c = gather_candidate_slabs(grid, queries, query_mask)
     n = c.slabs.shape[0]
-    r = c.slabs.shape[1] * c.slabs.shape[2]
-    cand = c.slabs.reshape(n, r, 3, _SLAB).swapaxes(-1, -2).reshape(n, r * _SLAB, 3)
+    xs, ys, zs = c.coords()
+    cand = jnp.stack([xs, ys, zs], axis=-1).reshape(n, -1, 3)
     return cand, c.ok()
 
 

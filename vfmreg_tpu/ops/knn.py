@@ -18,8 +18,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from vfmreg_tpu.ops.hash_grid import HashGrid, _NEIGHBOR_OFFSETS, _lookup_buckets
-from vfmreg_tpu.ops.voxel import INVALID_HASH, voxel_coords, voxel_hash
+from vfmreg_tpu.ops.hash_grid import HashGrid
 
 
 class RadiusKNN(NamedTuple):
@@ -42,27 +41,20 @@ def radius_knn(
     `exclude_self=True` drops exact-zero-distance hits (self matches when the
     queries are the grid points themselves).
     """
+    from vfmreg_tpu.ops.hash_grid import gather_candidate_slabs
+
     n = queries.shape[0]
-    cap = grid.max_points_per_voxel
-    base = voxel_coords(queries, grid.voxel_size)
     radius2 = jnp.square(jnp.asarray(radius, jnp.float32))
 
-    def gather_offset(o):
-        h = voxel_hash(base + _NEIGHBOR_OFFSETS[o])
-        h = jnp.where(query_mask, h, INVALID_HASH)
-        start, count = _lookup_buckets(grid, h)
-        slot = jnp.arange(cap, dtype=jnp.int32)
-        idx = jnp.clip(start[:, None] + slot[None, :], 0, grid.points.shape[0] - 1)
-        ok = slot[None, :] < count[:, None]
-        cand = grid.points[idx]
-        d2 = jnp.sum((cand - queries[:, None, :]) ** 2, axis=-1)
-        d2 = jnp.where(ok, d2, jnp.inf)
-        return idx, d2
-
-    # [N, 27*cap] candidates; vectorized over the 27 offsets.
-    idx_all, d2_all = jax.vmap(gather_offset, out_axes=(1, 1))(jnp.arange(27))
-    idx_all = idx_all.reshape(n, 27 * cap)
-    d2_all = d2_all.reshape(n, 27 * cap)
+    # [N, 27*S*32] candidates from the bucket-aligned slab store (sentinel
+    # lanes carry +inf distances and out-of-range row ids).
+    cands = gather_candidate_slabs(grid, queries, query_mask)
+    xs, ys, zs = cands.coords()
+    dx = xs - queries[:, None, 0:1]
+    dy = ys - queries[:, None, 1:2]
+    dz = zs - queries[:, None, 2:3]
+    d2_all = (dx * dx + dy * dy + dz * dz).reshape(n, -1)
+    idx_all = jnp.clip(cands.row_global(), 0, grid.points.shape[0] - 1)
 
     within = d2_all <= radius2
     if exclude_self:
