@@ -120,25 +120,28 @@ def geometric_icp_loop(
 ):
     """Shared geometric GN loop (used by plain ICP and VFM-ICP phase 2).
 
-    Outer `while_loop` refreshes the per-voxel-champion candidate cache; an
-    inner `while_loop` runs up to `refresh_interval` GN iterations against the
-    cached champions and EXITS as soon as any stop condition fires (under
-    `vmap`, jax's while batching rule masks per-lane carry updates, so a
-    converged lane idles while slower lanes in the batch finish) — termination
-    picks the same iterate as a per-iteration-checked loop. Two guards make
-    the champion cache safe:
+    Three nested `while_loop`s: the OUTER loop gathers the 27-voxel slab
+    candidates (the expensive HBM gather, once per motion epoch); the MIDDLE
+    loop rebuilds the per-voxel-champion cache from the KEPT slabs (cheap VPU
+    reduce, no re-gather); the INNER loop runs up to `refresh_interval` GN
+    iterations against the cached champions and EXITS as soon as any stop
+    condition fires (under `vmap`, jax's while batching rule masks per-lane
+    carry updates, so a converged lane idles while slower lanes in the batch
+    finish) — termination picks the same iterate as a per-iteration-checked
+    loop. Two guards make the cached candidates safe:
 
     * MOTION BOUND — each iteration adds a bound on how far any source point
       moved (|dt| + |omega| * r_max); once the accumulated motion since the
-      refresh exceeds half a voxel the remaining inner iterations no-op so the
-      outer loop re-gathers. Large-step (coarse) phases therefore refresh
-      nearly every iteration — the regime where any cached candidate set is
-      stale — while converged phases run many cheap champion-only iterations.
+      GATHER exceeds half a voxel, the middle/inner loops exit and the outer
+      loop re-gathers. Large-step (coarse) phases therefore re-gather nearly
+      every iteration — the regime where any cached candidate set is stale —
+      while converged phases run many cheap champion-only iterations.
     * FRESH-CONFIRMED TERMINATION — |dx| < threshold only terminates the loop
-      when it happens on the FIRST iteration after a refresh (exact-NN
-      iteration). A sub-threshold step against stale champions instead ends
-      the inner scan, the cache refreshes, and convergence is re-checked
-      fresh — so the loop can never settle on a stale-cache fixed point.
+      when it happens on the FIRST iteration after a champion rebuild (an
+      exact-NN iteration within the slab set). A sub-threshold step against
+      stale champions instead ends the inner loop, the champions rebuild at
+      the current position, and convergence is re-checked fresh — so the loop
+      can never settle on a stale-cache fixed point.
     """
 
     def cond(state: _ICPState):
@@ -148,59 +151,80 @@ def geometric_icp_loop(
     d2_from_center = jnp.sum(jnp.square(source0 - center), axis=-1)
     r_max = jnp.sqrt(jnp.max(jnp.where(mask, d2_from_center, 0.0)))
     slack = 0.5 * grid.voxel_size
+    use_fused = jax.default_backend() == "tpu"
 
     def body(state: _ICPState) -> _ICPState:
-        cache = build_nn_cache(
-            gather_candidate_slabs(grid, state.source, mask), state.source, mask
-        )
+        # One slab GATHER per epoch (the HBM-gather is the expensive part);
+        # champion rebuilds between iterations reuse the kept slabs — valid
+        # while accumulated motion since the gather stays below the half-voxel
+        # slack (same approximation class as the champion cache itself: a
+        # point that stays in its gather-time voxel sees the IDENTICAL
+        # 27-bucket candidate set a fresh gather would return).
+        cands = gather_candidate_slabs(grid, state.source, mask)
 
-        def inner_cond(carry):
-            source, T_icp, dx_norm, it, done, confirmed, moved, s = carry
+        def mid_cond(carry):
+            source, T_icp, dx_norm, it, done, confirmed, moved_g = carry
             return (
-                (s < refresh_interval)
-                & (it < max_iterations)
-                & ~done
-                & ~confirmed
-                & (moved < slack)
-                & ((s == 0) | (dx_norm >= estimation_threshold))
+                (it < max_iterations) & ~done & ~confirmed & (moved_g < slack)
             )
 
-        use_fused = jax.default_backend() == "tpu"
+        def mid_body(carry):
+            source0_m, T0, dxn0, it0m, done0, conf0, moved_g0 = carry
+            cache = build_nn_cache(cands, source0_m, mask)
 
-        def inner(carry):
-            source, T_icp, dx_norm, it, done, confirmed, moved, s = carry
-            fresh = s == 0
-            if use_fused:
-                # One streaming pass over the champion cache: NN + acceptance
-                # gate + robust normal equations (`ops/gn_kernel.py`).
-                from vfmreg_tpu.ops.gn_kernel import (
-                    assemble_gn_system,
-                    gn_moments_from_cache,
+            def inner_cond(c):
+                source, T_icp, dx_norm, it, done, confirmed, moved_g, s = c
+                return (
+                    (s < refresh_interval)
+                    & (it < max_iterations)
+                    & ~done
+                    & ~confirmed
+                    & (moved_g < slack)
+                    & ((s == 0) | (dx_norm >= estimation_threshold))
                 )
 
-                m = gn_moments_from_cache(
-                    cache.cx, cache.cy, cache.cz, source, center, kernel, max_dist
-                )
-                JTJ, JTr, n_corr = assemble_gn_system(m)
-            else:
-                nbr, dist, found = nn_from_cache(cache, grid.points, source, mask)
-                accept = found & (dist < max_dist)
-                JTJ, JTr, n_corr = build_linear_system(
-                    source, nbr, accept, kernel, center
-                )
-            dx = gn_step(JTJ, JTr, n_corr)
-            est_world = _conjugate_translation(exp_se3(dx), center)
-            source = transform_points(source, est_world)
-            T_icp = est_world @ T_icp
-            dx_norm = jnp.linalg.norm(dx)
-            confirmed = confirmed | (fresh & (dx_norm < estimation_threshold))
-            moved = moved + jnp.linalg.norm(dx[:3]) + jnp.linalg.norm(dx[3:]) * r_max
-            done = done | (n_corr == 0)
-            return (source, T_icp, dx_norm, it + 1, done, confirmed, moved, s + 1)
+            def inner(c):
+                source, T_icp, dx_norm, it, done, confirmed, moved_g, s = c
+                fresh = s == 0
+                if use_fused:
+                    # One streaming pass over the champion cache: NN +
+                    # acceptance gate + robust normal equations
+                    # (`ops/gn_kernel.py`).
+                    from vfmreg_tpu.ops.gn_kernel import (
+                        assemble_gn_system,
+                        gn_moments_from_cache,
+                    )
 
-        source, T_icp, dx_norm, it, done, confirmed, _, _ = jax.lax.while_loop(
-            inner_cond,
-            inner,
+                    m = gn_moments_from_cache(
+                        cache.cx, cache.cy, cache.cz, source, center, kernel, max_dist
+                    )
+                    JTJ, JTr, n_corr = assemble_gn_system(m)
+                else:
+                    nbr, dist, found = nn_from_cache(cache, grid.points, source, mask)
+                    accept = found & (dist < max_dist)
+                    JTJ, JTr, n_corr = build_linear_system(
+                        source, nbr, accept, kernel, center
+                    )
+                dx = gn_step(JTJ, JTr, n_corr)
+                est_world = _conjugate_translation(exp_se3(dx), center)
+                source = transform_points(source, est_world)
+                T_icp = est_world @ T_icp
+                dx_norm = jnp.linalg.norm(dx)
+                confirmed = confirmed | (fresh & (dx_norm < estimation_threshold))
+                moved_g = moved_g + jnp.linalg.norm(dx[:3]) + jnp.linalg.norm(dx[3:]) * r_max
+                done = done | (n_corr == 0)
+                return (source, T_icp, dx_norm, it + 1, done, confirmed, moved_g, s + 1)
+
+            out = jax.lax.while_loop(
+                inner_cond,
+                inner,
+                (source0_m, T0, dxn0, it0m, done0, conf0, moved_g0, jnp.int32(0)),
+            )
+            return out[:7]
+
+        source, T_icp, dx_norm, it, done, confirmed, _ = jax.lax.while_loop(
+            mid_cond,
+            mid_body,
             (
                 state.source,
                 state.T_icp,
@@ -209,7 +233,6 @@ def geometric_icp_loop(
                 state.done,
                 state.confirmed,
                 jnp.float32(0.0),
-                jnp.int32(0),
             ),
         )
         return _ICPState(source, T_icp, dx_norm, it, done, confirmed)
