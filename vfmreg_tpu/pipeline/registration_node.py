@@ -449,9 +449,9 @@ class RegistrationNode:
         DINOv2-PCA color match -> isolated-point filter -> kNN region growth ->
         HDBSCAN clustering -> per-cluster random removal."""
         import scipy.stats
-        from sklearn.cluster import HDBSCAN
 
         from vfmreg_tpu.utils import KNeighbors
+        from vfmreg_tpu.utils.hdbscan import hdbscan_labels
 
         if self.dino_generator is None:
             raise ValueError("cluster removal requires a feature_generator (run_pca)")
@@ -477,8 +477,9 @@ class RegistrationNode:
             del_idx = np.concatenate([del_idx, knn_idx])
 
             a = time()
-            clusterer = HDBSCAN(min_cluster_size=100, min_samples=25)
-            cluster_labels = clusterer.fit_predict(local_map[del_idx, :3])
+            cluster_labels = hdbscan_labels(
+                local_map[del_idx, :3], min_cluster_size=100, min_samples=25
+            )
             print(
                 f"Clustering time: {(time() - a):.5f} | Clusters: {cluster_labels.max() + 1} "
                 f"| Outliers: {np.sum(cluster_labels == -1)}"
