@@ -82,7 +82,16 @@ def _kernel(scal_ref, cx_ref, cy_ref, cz_ref, sx_ref, sy_ref, sz_ref, out_ref):
     ]
     acc = jnp.concatenate(parts, axis=0)  # [17, BQ]
     acc = jnp.pad(acc, ((0, _NPART - len(parts)), (0, 0)))
-    out_ref[...] = jnp.sum(acc, axis=1, keepdims=True)  # [NPART, 1]
+    sums = jnp.sum(acc, axis=1, keepdims=True)  # [NPART, 1]
+    # Revisited output block: lane 0 accumulates across grid steps (the TPU
+    # grid is sequential, so read-modify-write is race-free).
+    block = jnp.pad(sums, ((0, 0), (0, 127)))  # [NPART, 128]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    out_ref[...] += block
 
 
 @functools.partial(jax.jit, static_argnames=("block_q", "interpret"))
@@ -130,11 +139,11 @@ def gn_moments_from_cache(
             pl.BlockSpec((1, block_q), lambda i: (0, i)),
             pl.BlockSpec((1, block_q), lambda i: (0, i)),
         ],
-        out_specs=pl.BlockSpec((_NPART, 1), lambda i: (0, i)),
-        out_shape=jax.ShapeDtypeStruct((_NPART, grid), jnp.float32),
+        out_specs=pl.BlockSpec((_NPART, 128), lambda i: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct((_NPART, 128), jnp.float32),
         interpret=interpret,
     )(scal, cx, cy, cz, sx, sy, sz)
-    return jnp.sum(out, axis=1)[:17]
+    return out[:17, 0]
 
 
 def assemble_gn_system(m: jnp.ndarray):

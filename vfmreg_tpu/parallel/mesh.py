@@ -51,7 +51,7 @@ def _single_pair_register(
         jnp.eye(4, dtype=jnp.float32),
         max_correspondence_distance=3.0 * sigma,
         kernel=sigma / 3.0,
-        max_iterations=100,
+        max_iterations=1000,
     )
     return pose, corr.count
 
