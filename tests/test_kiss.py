@@ -286,3 +286,26 @@ def test_device_resident_map_with_descriptors(rng):
     dev = np.asarray(sorted(map(tuple, np.round(run(True), 4).tolist())))
     assert host.shape == dev.shape
     np.testing.assert_allclose(dev, host, atol=1e-4)
+
+
+def test_device_map_merge_interval_parity(rng):
+    """merge_interval=4 buffers frames but yields the IDENTICAL stored map
+    after reads flush; odometry trajectory matches interval=1 on a short run."""
+    from vfmreg_tpu.kiss.mapping import VoxelHashMap
+
+    frames = [rng.uniform(-10, 10, (500, 3)).astype(np.float64) for _ in range(5)]
+    poses = []
+    for i in range(5):
+        T = np.eye(4)
+        T[0, 3] = 0.3 * i
+        poses.append(T)
+
+    maps = {}
+    for k in (1, 4):
+        m = VoxelHashMap(0.5, 100.0, device_resident=True, merge_interval=k)
+        for f, T in zip(frames, poses):
+            m.update(f, T)
+        maps[k] = m.point_cloud()  # read flushes pending
+    a = np.asarray(sorted(map(tuple, np.round(maps[1], 5))))
+    b = np.asarray(sorted(map(tuple, np.round(maps[4], 5))))
+    np.testing.assert_array_equal(a, b)

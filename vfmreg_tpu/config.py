@@ -30,6 +30,10 @@ class MappingConfig:
 
     voxel_size: Optional[float] = None  # default: max_range / 100
     max_points_per_voxel: int = 20
+    # Device-resident odometry: merge buffered frames into the device map every
+    # K-th update (1 = exact per-update reference semantics; the newest <=K-1
+    # frames are invisible to NN between merges). See kiss/mapping.py.
+    map_merge_interval: int = 1
 
 
 @dataclasses.dataclass

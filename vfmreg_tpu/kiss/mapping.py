@@ -32,6 +32,7 @@ def get_voxel_hash_map(config: KISSConfig) -> "VoxelHashMap":
         voxel_size=config.mapping.voxel_size,
         max_distance=config.data.max_range,
         max_points_per_voxel=config.mapping.max_points_per_voxel,
+        merge_interval=getattr(config.mapping, "map_merge_interval", 1),
     )
 
 
@@ -43,10 +44,22 @@ class VoxelHashMap:
         max_points_per_voxel: int = 20,
         use_native: Optional[bool] = None,
         device_resident: Optional[bool] = None,
+        merge_interval: int = 1,
     ):
         self.voxel_size = float(voxel_size)
         self.max_distance = float(max_distance)
         self.max_points_per_voxel = int(max_points_per_voxel)
+        # Device-resident amortization: with merge_interval=K>1, frames buffer
+        # on the host and the (full-rebuild) device merge runs every K-th
+        # update — the dominant odometry cost at large map caps. Between
+        # merges `device_grid()` intentionally serves the <=K-1-frame-stale
+        # grid (the newest sliver of geometry is invisible to NN for at most
+        # K-1 frames; exports and correspondence queries always flush first).
+        # K=1 (default) keeps exact per-update reference semantics
+        # (`VoxelHashMap.cpp:678-731`). Eviction at merge time uses the LAST
+        # buffered origin.
+        self.merge_interval = max(int(merge_interval), 1)
+        self._pending = []
         self._points = np.zeros((0, 3), dtype=np.float32)
         self._feats: Optional[np.ndarray] = None  # [N, D] when descriptor clouds added
         self._grid: Optional[HashGrid] = None  # device cache
@@ -77,6 +90,7 @@ class VoxelHashMap:
 
     # ------------------------------------------------------------- mutation API
     def clear(self):
+        self._pending = []
         self._points = np.zeros((0, 3), dtype=np.float32)
         self._feats = None
         self._grid = None
@@ -94,6 +108,8 @@ class VoxelHashMap:
             self._dev_count_pending = None
 
     def empty(self) -> bool:
+        if getattr(self, "_pending", None):
+            return False
         self._resolve_count()
         if self._dev_count > 0:
             return False
@@ -161,6 +177,28 @@ class VoxelHashMap:
         return self._device_resident
 
     def _update_device(self, xyz: np.ndarray, feats: Optional[np.ndarray], origin: np.ndarray, evict: bool = True):
+        # Buffer only once a device grid exists: the bootstrap frames must be
+        # searchable immediately, or early registrations see an empty map.
+        if self.merge_interval > 1 and self._grid is not None:
+            self._pending.append((xyz, feats, origin, evict))
+            if len(self._pending) >= self.merge_interval:
+                self._flush_pending()
+            return
+        self._merge_device(xyz, feats, origin, evict)
+
+    def _flush_pending(self) -> None:
+        if not self._pending:
+            return
+        xyz = np.concatenate([p[0] for p in self._pending])
+        feats = None
+        if self._pending[0][1] is not None:
+            feats = np.concatenate([p[1] for p in self._pending])
+        origin = self._pending[-1][2]
+        evict = any(p[3] for p in self._pending)
+        self._pending = []
+        self._merge_device(xyz, feats, origin, evict)
+
+    def _merge_device(self, xyz: np.ndarray, feats: Optional[np.ndarray], origin: np.ndarray, evict: bool = True):
         """One-dispatch merge + compact + evict on device (only the new frame
         crosses the host-device link)."""
         import jax.numpy as jnp
@@ -258,6 +296,8 @@ class VoxelHashMap:
     def remove_far_away_points(self, origin: np.ndarray):
         """Evict voxels whose FIRST point is farther than max_distance
         (`RemovePointsFarFromLocation`, `VoxelHashMap.cpp:772-796`)."""
+        if self._pending:
+            self._flush_pending()
         if self.empty():
             return
         origin = np.asarray(origin, dtype=np.float64).reshape(3)
@@ -303,12 +343,16 @@ class VoxelHashMap:
     # ---------------------------------------------------------------- query API
     def point_cloud(self) -> np.ndarray:
         """Capped stored points, [M, 3] (`Pointcloud`, `VoxelHashMap.cpp:628-660`)."""
+        if self._pending:
+            self._flush_pending()
         grid = self.device_grid()
         valid = np.asarray(grid.valid)
         return np.asarray(grid.points)[valid]
 
     def point_cloud_n(self) -> np.ndarray:
         """Capped stored points with descriptors, [M, 3+D] (`PointcloudN`)."""
+        if self._pending:
+            self._flush_pending()
         grid = self.device_grid()
         if grid.feats is None:
             raise ValueError("Map has no descriptors")
@@ -324,6 +368,8 @@ class VoxelHashMap:
         descriptors ride along in the returned source rows but do not influence
         the search (`VoxelHashMap.cpp:172-319`, cosine weighting disabled).
         """
+        if self._pending:
+            self._flush_pending()
         import jax.numpy as jnp
 
         pts = np.asarray(points)
@@ -343,6 +389,8 @@ class VoxelHashMap:
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Cosine 1-NN descriptor matches (`GetVFMCorrespondences`,
         `VoxelHashMap.cpp:461-626`). points: [N, 3+D]."""
+        if self._pending:
+            self._flush_pending()
         import jax.numpy as jnp
 
         pts = np.asarray(points)
