@@ -309,3 +309,15 @@ def test_device_map_merge_interval_parity(rng):
     a = np.asarray(sorted(map(tuple, np.round(maps[1], 5))))
     b = np.asarray(sorted(map(tuple, np.round(maps[4], 5))))
     np.testing.assert_array_equal(a, b)
+
+
+def test_device_map_merge_bootstrap_not_empty(rng):
+    """Regression: with merge_interval>1 the FIRST update must merge
+    immediately — early registrations would otherwise see an empty grid and
+    silently return their initial guess (a 3-frame trajectory hole)."""
+    from vfmreg_tpu.kiss.mapping import VoxelHashMap
+
+    m = VoxelHashMap(0.5, 100.0, device_resident=True, merge_interval=4)
+    m.update(rng.uniform(-5, 5, (300, 3)), np.eye(4))
+    assert m._grid is not None
+    assert int(m._grid.num_points) > 0

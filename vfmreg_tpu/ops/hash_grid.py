@@ -7,10 +7,9 @@ map lives on device as sorted, padded arrays:
 * points are stable-sorted by 32-bit voxel hash → same-voxel points are contiguous
   ("buckets"), in insertion order (so the first-`max_points_per_voxel` cap keeps the
   same points as the reference's `VoxelBlock::AddPoint`, `VoxelHashMap.hpp:47-54`);
-* per-bucket `(start, count)` CSR offsets plus the sorted unique hash array;
-* lookup = a packed open-addressing table ([H, 4] rows of (hash, start, count)),
-  `_PROBES` unrolled linear-probe rounds of ONE wide gather each — no
-  pointer-chasing, no host round-trips;
+* lookup = a packed open-addressing table ([H/2, 24] rows covering a whole
+  7-probe window of (hash, bucket, count) triples) — ONE wide gather per
+  lookup, no pointer-chasing, no host round-trips;
 * every bucket's points additionally live in ONE bucket-aligned 128-lane
   SLAB row ([x0..x31 | y0..y31 | z0..z31 | rowid0..31], sentinel-padded), so
   the 27-neighborhood NN query is exactly 27 single-row gathers per query —
@@ -284,7 +283,9 @@ _NEIGHBOR_OFFSETS = jnp.array(
 
 
 def _lookup_buckets(grid: HashGrid, h: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """hash -> (bucket_start, bucket_count); count==0 when the voxel is absent.
+    """hash -> (bucket index, bucket count); count==0 when the voxel is absent.
+    The bucket index addresses the bucket's aligned rows in `bucket_slab`
+    (rows index*S .. index*S+S-1).
 
     Linear-probing table lookup: ONE wide gather of the packed stride-2 row
     (8 slots' (hash, start, count) triples) covers the whole 7-probe window."""
