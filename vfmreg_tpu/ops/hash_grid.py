@@ -440,8 +440,8 @@ class NNCache(NamedTuple):
     position. The global NN is the min over champions, so the first cached-NN
     resolve after a refresh is EXACT; between refreshes the champion set is an
     approximation of the same class as the 27-voxel slack itself (both assume
-    sub-voxel inter-refresh motion; `refresh_interval=1` restores exact
-    per-iteration semantics). This cuts the per-iteration stream from
+    sub-voxel inter-refresh motion; `refresh_interval=1` makes every iteration
+    exact within the epoch's slab set). This cuts the per-iteration stream from
     [N, 27*32] lanes to [N, 32] — the dominant cost of a GN iteration.
 
     Coordinates carry the `INVALID_COORD` sentinel in dead lanes (squared

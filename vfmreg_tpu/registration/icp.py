@@ -40,13 +40,17 @@ from vfmreg_tpu.ops.hash_grid import (
 
 MAX_NUM_ITERATIONS = 1000  # Registration.cpp:92
 ESTIMATION_THRESHOLD = 1e-4  # Registration.cpp:93
-# Candidate-cache refresh cadence: the 27-voxel candidate set is re-gathered
-# every REFRESH_INTERVAL GN iterations and the NN is resolved within the cached
-# set in between. The gather is the expensive (memory-rate-bound) part of an
-# ICP iteration; typical inter-refresh motion is far below the ~voxel-sized
-# slack of the 27-neighborhood, so the accepted correspondences match the
-# per-iteration-exact search in practice (set to 1 for exact reference
-# semantics).
+# Champion-cache rebuild cadence: per-voxel champions are recomputed from the
+# epoch's gathered slab set every REFRESH_INTERVAL GN iterations (and the slab
+# set itself re-gathers whenever accumulated motion exceeds the half-voxel
+# slack). Typical inter-rebuild motion is far below the ~voxel-sized slack of
+# the 27-neighborhood, so the accepted correspondences match per-iteration-
+# exact search in practice; refresh_interval=1 makes every iteration exact
+# WITHIN the epoch's slab set (identical to a fresh gather for every point
+# that stayed in its gather-time voxel — the same slack class the motion
+# bound enforces). Recall neutrality vs =1 is asserted in
+# tests/test_harness.py; recall parity vs an exact-KD-tree oracle in
+# tests/test_recall_parity.py.
 REFRESH_INTERVAL = 16
 
 
