@@ -56,3 +56,12 @@ def test_cluster_removal_uses_native_hdbscan(rng):
     import vfmreg_tpu.pipeline.registration_node as rn
 
     assert "sklearn" not in open(rn.__file__).read().split("def _apply_cluster_removal")[1].split("def ")[0]
+
+
+def test_hdbscan_with_duplicate_points(rng):
+    """Exact duplicates create zero-distance merges (infinite lambda); the
+    stability accounting must clamp, not go negative."""
+    blob = rng.normal(0, 0.5, (80, 3))
+    pts = np.concatenate([blob, blob[:20], rng.normal(8, 0.5, (80, 3))])
+    labels = hdbscan_labels(pts, min_cluster_size=30, min_samples=5)
+    assert len(set(labels[labels >= 0])) == 2

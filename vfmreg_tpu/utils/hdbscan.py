@@ -155,18 +155,21 @@ def _condense_and_extract(merges: np.ndarray, n: int, min_cluster_size: int) -> 
     rows_lam = np.asarray(rows_lam)
     rows_size = np.asarray(rows_size)
 
-    # Birth lambda per condensed cluster.
+    # Birth lambda per condensed cluster; infinite exit lambdas (duplicate
+    # points, d=0 merges) are clamped to the largest finite lambda so they
+    # contribute maximal (not negative) stability, as in the hdbscan library.
+    finite_lams = rows_lam[np.isfinite(rows_lam)]
+    lam_cap = float(finite_lams.max()) if len(finite_lams) else 0.0
+    rows_lam = np.where(np.isfinite(rows_lam), rows_lam, lam_cap)
     birth = np.zeros(n_clusters)
     for p, c, lam in zip(rows_parent, rows_child, rows_lam):
         if c < 0:
             birth[-c] = lam
-    # Stability = sum over exits (points AND child clusters? EOM uses point
-    # exits only; child-cluster exits contribute via the child subtree).
+    # Stability = sum over exits (individual points and child-split exits,
+    # each weighted by its size).
     stability = np.zeros(n_clusters)
-    finite = np.isfinite(rows_lam)
     for p, c, lam, s in zip(rows_parent, rows_child, rows_lam, rows_size):
-        contrib = (lam if np.isfinite(lam) else 0.0) - birth[p]
-        stability[p] += contrib * s
+        stability[p] += (lam - birth[p]) * s
 
     # Children map.
     kids = [[] for _ in range(n_clusters)]
