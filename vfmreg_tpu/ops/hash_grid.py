@@ -183,16 +183,17 @@ def build_hash_grid(
         H *= 2
     base = (h_s & jnp.uint32(H - 1)).astype(jnp.int32)
     key2 = jnp.where(is_start, base, H)  # non-starts sort last
-    order2 = jnp.argsort(key2, stable=True)
-    bs = key2[order2]
+    # ONE multi-operand sort carries the table values alongside the key —
+    # argsort + three [order2] gathers fused ~2x slower than the sort itself.
+    bs, hs2, bid2, cnt2 = jax.lax.sort(
+        (key2, h_s.astype(jnp.int32), bucket_id, count_pp), num_keys=1, is_stable=True
+    )
     placed = row + jax.lax.associative_scan(jnp.maximum, bs - row)
-    ok = is_start[order2] & (placed - bs < _PROBES) & (placed < H)
+    ok = (bs < H) & (placed - bs < _PROBES) & (placed < H)
     slot = jnp.where(ok, placed, H)  # H = write-off row, never read back
 
-    # Table rows carry (hash, bucket slab index, count).
-    vals = jnp.stack(
-        [h_s[order2].astype(jnp.int32), bucket_id[order2], count_pp[order2]], axis=1
-    )
+    # Table rows carry (hash, bucket index, count).
+    vals = jnp.stack([hs2, bid2, cnt2], axis=1)
     init = jnp.concatenate(
         [
             jnp.full((H + 1, 1), -1, dtype=jnp.int32),  # int32 view of INVALID_HASH
