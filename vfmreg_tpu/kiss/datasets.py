@@ -490,9 +490,7 @@ class OusterDataloader:
         xyz = self._xyzlut(scan).reshape(-1, 3)
         ts = scan.timestamp
         ts = (ts - ts.min()) / max(ts.max() - ts.min(), 1)
-        import numpy as _np
-
-        return xyz.astype(_np.float64), _np.repeat(ts, xyz.shape[0] // ts.shape[0])
+        return xyz.astype(np.float64), np.repeat(ts, xyz.shape[0] // ts.shape[0])
 
 
 class ParisLucoDataset:
