@@ -46,9 +46,19 @@ def test_hdbscan_matches_sklearn_on_blobs(rng, mcs, ms):
 
 def test_hdbscan_degenerate_inputs():
     assert np.all(hdbscan_labels(np.zeros((3, 3)), 100, 25) == -1)
+
+
+def test_hdbscan_single_blob_is_all_noise():
+    """One dense unimodal blob: the condensed tree has no valid split, and
+    hdbscan/sklearn (allow_single_cluster=False) never select the root — the
+    result is all noise, not one all-points cluster."""
+    from sklearn.cluster import HDBSCAN
+
     one_blob = np.random.RandomState(0).normal(0, 0.5, (200, 3))
-    labels = hdbscan_labels(one_blob, min_cluster_size=50, min_samples=10)
-    assert len(set(labels[labels >= 0])) >= 1
+    got = hdbscan_labels(one_blob, min_cluster_size=50, min_samples=10)
+    want = HDBSCAN(min_cluster_size=50, min_samples=10).fit_predict(one_blob)
+    assert np.all(want == -1)  # oracle sanity
+    assert np.all(got == -1)
 
 
 def test_cluster_removal_uses_native_hdbscan(rng):

@@ -30,6 +30,19 @@ def _quat_from_matrix(R):
     return w, x, y, z
 
 
+def _se3(R, t):
+    T = np.eye(4)
+    T[:3, :3] = R
+    T[:3, 3] = t
+    return T
+
+
+# Every pose-convention assertion below uses scipy.spatial.transform.Rotation
+# as the independent oracle (NOT the code under test) at NON-ZERO attitude
+# angles, so a transposed/reordered rotation composition cannot pass.
+from scipy.spatial.transform import Rotation as _R
+
+
 # --------------------------------------------------------------------- io
 def test_pcd_reader_ascii_and_binary(tmp_path):
     from vfmreg_tpu.data.cloud_io import read_pcd_xyz
@@ -115,25 +128,76 @@ def test_apollo_loader(tmp_path):
     assert len(ds) == 3
     np.testing.assert_allclose(ds[0], pts, atol=1e-6)
     np.testing.assert_allclose(ds.gt_poses[0], np.eye(4), atol=1e-9)
-    # local pose 1 = inv(P0) @ P1
-    np.testing.assert_allclose(ds.gt_poses[1][:3, 3], [1.0, 2.0, 0.0], atol=1e-6)
+    # local pose i = inv(P0) @ Pi — full-matrix oracle at non-zero attitude.
+    P = [_se3(_rot_z(0.1 * i), [1.0 * i, 2.0 * i, 0.0]) for i in range(3)]
+    for i in range(3):
+        np.testing.assert_allclose(
+            ds.gt_poses[i], np.linalg.inv(P[0]) @ P[i], atol=1e-9
+        )
+
+
+def test_apollo_loader_nontrivial_attitude(tmp_path):
+    """Full 3-axis rotations: the quaternion->matrix convention is pinned by a
+    scipy oracle (reference `apollo.py:59-72`, pyquaternion x/y/z/w columns)."""
+    (tmp_path / "pcds").mkdir()
+    (tmp_path / "poses").mkdir()
+    header = (
+        "VERSION 0.7\nFIELDS x y z\nSIZE 4 4 4\nTYPE F F F\nCOUNT 1 1 1\n"
+        "WIDTH 1\nHEIGHT 1\nPOINTS 1\nDATA binary\n"
+    )
+    pt = np.zeros((1, 3), np.float32)
+    eulers = [[0.3, -0.2, 0.1], [-0.8, 0.5, 1.2]]
+    trans = [[1.0, -2.0, 0.5], [3.0, 4.0, -1.0]]
+    rows = []
+    for i, (e, t) in enumerate(zip(eulers, trans)):
+        (tmp_path / "pcds" / f"{i}.pcd").write_bytes(header.encode() + pt.tobytes())
+        qx, qy, qz, qw = _R.from_euler("ZYX", e).as_quat()
+        rows.append([i, 0.0, *t, qx, qy, qz, qw])
+    np.savetxt(tmp_path / "poses" / "gt_poses.txt", np.array(rows))
+
+    ds = dataset_factory("apollo", tmp_path)
+    P = [
+        _se3(_R.from_euler("ZYX", e).as_matrix(), t)
+        for e, t in zip(eulers, trans)
+    ]
+    np.testing.assert_allclose(ds.gt_poses[1], np.linalg.inv(P[0]) @ P[1], atol=1e-9)
 
 
 def test_boreas_loader(tmp_path):
+    """Applanix pose chain at NON-ZERO roll/pitch/yaw, pinned against an
+    independent scipy oracle: the reference composes
+    C_enu_sensor = R_roll @ R_pitch @ R_yaw with the per-axis matrices in
+    transposed (passive) form (`boreas.py:74-96`), which equals
+    (Rz(ya) Ry(p) Rx(r))^T."""
     (tmp_path / "lidar").mkdir()
     (tmp_path / "applanix").mkdir()
     scan = np.random.RandomState(0).randn(10, 6).astype(np.float32)
-    (tmp_path / "lidar" / "0.bin").write_bytes(scan.tobytes())
+    rows = np.zeros((3, 13))
+    attitudes = [  # (roll, pitch, yaw) — all non-trivial
+        (0.1, -0.2, 0.3),
+        (-0.5, 0.25, -1.2),
+        (0.9, -0.6, 2.0),
+    ]
+    for i, (r, p, ya) in enumerate(attitudes):
+        (tmp_path / "lidar" / f"{i}.bin").write_bytes(scan.tobytes())
+        rows[i, 1:4] = [1.0 + i, 2.0 - i, 3.0 * i]
+        rows[i, 7:10] = [r, p, ya]
     hdr = "t,x,y,z,vx,vy,vz,r,p,ya,wz,wy,wx"
-    rows = np.zeros((1, 13))
-    rows[0, 1:4] = [1.0, 2.0, 3.0]
     np.savetxt(tmp_path / "applanix" / "lidar_poses.csv", rows, delimiter=",", header=hdr)
 
     ds = dataset_factory("boreas", tmp_path)
     pts, ts = ds[0]
     np.testing.assert_allclose(pts, scan[:, :3], atol=1e-6)
     assert np.all((ts >= 0) & (ts <= 1))
+
+    expected_T = [
+        _se3(_R.from_euler("ZYX", [ya, p, r]).as_matrix().T, rows[i, 1:4])
+        for i, (r, p, ya) in enumerate(attitudes)
+    ]
     np.testing.assert_allclose(ds.gt_poses[0], np.eye(4), atol=1e-6)
+    for i in range(3):
+        expected = np.linalg.inv(expected_T[0]) @ expected_T[i]
+        np.testing.assert_allclose(ds.gt_poses[i], expected, atol=1e-5)  # f32 storage
 
 
 def test_kitti_raw_loader(tmp_path):
@@ -142,12 +206,14 @@ def test_kitti_raw_loader(tmp_path):
     (drive / "oxts" / "data").mkdir(parents=True)
     n_frames = 4  # benchmark range for seq 04 is [0, 270]; 4 files is a subset
     scan = np.random.RandomState(1).randn(50, 4).astype(np.float32)
+    rpys = [(0.0, 0.0, 0.0), (0.1, -0.05, 0.4), (-0.3, 0.2, 1.1), (0.25, 0.15, -0.7)]
     for i in range(n_frames):
         (drive / "velodyne_points" / "data" / f"{i:010d}.bin").write_bytes(scan.tobytes())
         vals = np.zeros(30)
         vals[0] = 49.0 + 1e-5 * i  # lat
         vals[1] = 8.43 + 1e-5 * i  # lon
         vals[2] = 112.0  # alt
+        vals[3:6] = rpys[i]  # NON-ZERO roll/pitch/yaw
         np.savetxt(drive / "oxts" / "data" / f"{i:010d}.txt", vals[None])
     calib = tmp_path / "2011_09_30"
     with open(calib / "calib_imu_to_velo.txt", "w") as f:
@@ -161,8 +227,36 @@ def test_kitti_raw_loader(tmp_path):
     np.testing.assert_allclose(ds.gt_poses[0], np.eye(4), atol=1e-9)
     assert np.linalg.norm(ds.gt_poses[-1][:3, 3]) > 0.1  # GPS motion shows up
 
+    # Independent OXTS oracle (`kitti_raw.py:278-291,384-387`): Mercator t with
+    # scale from the FIRST latitude, R = Rz(yaw) Ry(pitch) Rx(roll), poses
+    # normalized by inv(first), then conjugated into the Velodyne frame.
+    er = 6378137.0
+    scale = np.cos(49.0 * np.pi / 180.0)
+    T_velo_imu = _se3(np.eye(3), [0.1, 0.2, 0.3])
+    oracle = []
+    for i in range(n_frames):
+        lat, lon, alt = 49.0 + 1e-5 * i, 8.43 + 1e-5 * i, 112.0
+        t = [
+            scale * lon * np.pi * er / 180.0,
+            scale * er * np.log(np.tan((90.0 + lat) * np.pi / 360.0)),
+            alt,
+        ]
+        R = _R.from_euler("ZYX", [rpys[i][2], rpys[i][1], rpys[i][0]]).as_matrix()
+        oracle.append(_se3(R, t))
+    for i in range(n_frames):
+        expected = (
+            T_velo_imu
+            @ np.linalg.inv(oracle[0])
+            @ oracle[i]
+            @ np.linalg.inv(T_velo_imu)
+        )
+        np.testing.assert_allclose(ds.gt_poses[i], expected, atol=1e-8)
+
 
 def test_ncd_loader(tmp_path):
+    """Newer College GT at non-zero attitude: poses must be right-multiplied by
+    the fixed camera->lidar extrinsic T_CL (quat w=.383, z=.924;
+    t=[-.084,-.025,.050]) BEFORE first-pose normalization (`ncd.py:99-104`)."""
     scans = tmp_path / "raw_format" / "ouster_scan"
     gt = tmp_path / "ground_truth"
     scans.mkdir(parents=True)
@@ -174,16 +268,157 @@ def test_ncd_loader(tmp_path):
     )
     for name in ("cloud_1583836591_182590976.pcd", "cloud_1583836592_182590976.pcd"):
         (scans / name).write_bytes(header.encode() + pts.tobytes())
+    eulers = [[0.4, -0.1, 0.2], [-0.7, 0.3, 1.0]]
+    trans = [[0.5, -1.0, 2.0], [1.5, 0.0, -0.5]]
     rows = np.zeros((2, 9))
-    rows[:, 8] = 1.0  # identity quats (qw last column)
-    rows[1, 2:5] = [1.0, 0.0, 0.0]
+    for i, (e, t) in enumerate(zip(eulers, trans)):
+        rows[i, 2:5] = t
+        rows[i, 5:9] = _R.from_euler("ZYX", e).as_quat()  # (qx, qy, qz, qw)
     np.savetxt(gt / "registered_poses.csv", rows, delimiter=",", header="sec,nsec,x,y,z,qx,qy,qz,qw")
 
     ds = dataset_factory("ncd", tmp_path)
     assert len(ds) == 2
     p, ts = ds[0]
     np.testing.assert_allclose(p, pts, atol=1e-6)
-    np.testing.assert_allclose(ds.gt_poses[1][:3, 3], [1, 0, 0], atol=1e-9)
+    T_CL = _se3(_R.from_quat([0.0, 0.0, 0.924, 0.383]).as_matrix(), [-0.084, -0.025, 0.050])
+    P = [
+        _se3(_R.from_euler("ZYX", e).as_matrix(), t) @ T_CL
+        for e, t in zip(eulers, trans)
+    ]
+    np.testing.assert_allclose(ds.gt_poses[0], np.eye(4), atol=1e-9)
+    np.testing.assert_allclose(ds.gt_poses[1], np.linalg.inv(P[0]) @ P[1], atol=1e-9)
+
+
+def test_ncd_filename_sort_is_numeric():
+    """`cloud_<secs>_<nsecs>` must sort by integer time (`ncd.py:76-84`):
+    lexicographic order would put nsecs '18...' before '9...'."""
+    from vfmreg_tpu.kiss.datasets import NewerCollegeDataset
+    import unittest.mock as mock
+
+    names = [
+        "cloud_101_18000000.pcd",
+        "cloud_101_9000000.pcd",
+        "cloud_100_500000000.pcd",
+    ]
+    with mock.patch("os.listdir", return_value=list(names)):
+        out = NewerCollegeDataset.get_pcd_filenames("ignored")
+    assert out == [
+        "cloud_100_500000000.pcd",
+        "cloud_101_9000000.pcd",
+        "cloud_101_18000000.pcd",
+    ]
+
+
+def test_mulran_loader(tmp_path):
+    """MulRan: column-index timestamps (floor(i/64)/1024), nearest-timestamp
+    pose matching, and the base<->lidar conjugation (`mulran.py:56-96`)."""
+    (tmp_path / "Ouster").mkdir()
+    scan = np.random.RandomState(4).randn(100, 4).astype(np.float32)
+    for name in ("1566534558000000.bin", "1566534559000000.bin"):
+        (tmp_path / "Ouster" / name).write_bytes(scan.tobytes())
+
+    eulers = [[0.2, -0.3, 0.15], [1.1, 0.4, -0.6]]
+    trans = [[10.0, -5.0, 1.0], [12.0, -4.0, 1.2]]
+    P = [_se3(_R.from_euler("ZYX", e).as_matrix(), t) for e, t in zip(eulers, trans)]
+    csv_rows = []
+    # three CSV rows; the middle one is closest to neither scan timestamp
+    for ts_val, T in [
+        (1566534558000100.0, P[0]),
+        (1566534558600000.0, _se3(np.eye(3), [99.0, 99.0, 99.0])),
+        (1566534558999900.0, P[1]),
+    ]:
+        csv_rows.append([ts_val] + list(T[:3, :4].reshape(-1)))
+    np.savetxt(tmp_path / "global_pose.csv", np.array(csv_rows), delimiter=",")
+
+    ds = dataset_factory("mulran", tmp_path)
+    assert len(ds) == 2
+    frame, ts = ds[0]
+    np.testing.assert_allclose(frame, scan[:, :3], atol=1e-6)
+    # 100 points != 64*1024 -> fallback to all-ones timestamps
+    np.testing.assert_allclose(ts, np.ones(100))
+    full = ds.get_timestamps()
+    assert full.shape == (64 * 1024,)
+    np.testing.assert_allclose(full[:65], [0.0] * 64 + [1.0 / 1024], atol=1e-12)
+
+    from vfmreg_tpu.kiss.datasets import MulranDataset
+
+    T_lb = MulranDataset.T_LIDAR_TO_BASE
+    expected = T_lb @ np.linalg.inv(P[0]) @ P[1] @ np.linalg.inv(T_lb)
+    np.testing.assert_allclose(ds.gt_poses[0], np.eye(4), atol=1e-9)
+    np.testing.assert_allclose(ds.gt_poses[1], expected, atol=1e-9)
+
+
+def test_ouster_loader_column_timestamps(tmp_path, monkeypatch):
+    """The pcap loader (stubbed sdk) must tile per-COLUMN relative times across
+    rows of the row-major (h, w) range image and drop zero-range returns
+    (`ouster.py:131-146`) — np.repeat over rows would scramble deskew times."""
+    import sys
+    import types as _types
+
+    h, w = 4, 8
+
+    class FakeScan:
+        def __init__(self):
+            self.h, self.w = h, w
+            self.timestamp = np.arange(w) * 1000 + 5_000_000_000
+
+        def field(self, f):
+            assert f == "RANGE"
+            rng = np.ones((h, w), np.uint32)
+            rng[0, 0] = 0
+            rng[2, 5] = 0
+            return rng
+
+    class FakeScans:
+        def __init__(self, source):
+            pass
+
+        def __iter__(self):
+            return iter([FakeScan(), FakeScan()])
+
+    class FakeLut:
+        def __init__(self, info):
+            pass
+
+        def __call__(self, scan):
+            xyz = np.zeros((h, w, 3))
+            xyz[..., 0] = np.arange(h)[:, None]
+            xyz[..., 1] = np.arange(w)[None, :]
+            return xyz
+
+    client = _types.ModuleType("ouster.client")
+    client.SensorInfo = lambda s: object()
+    client.Scans = FakeScans
+    client.XYZLut = FakeLut
+    client.ChanField = _types.SimpleNamespace(RANGE="RANGE")
+    pcap = _types.ModuleType("ouster.pcap")
+    pcap.Pcap = lambda path, info: object()
+    ouster = _types.ModuleType("ouster")
+    ouster.client = client
+    ouster.pcap = pcap
+    monkeypatch.setitem(sys.modules, "ouster", ouster)
+    monkeypatch.setitem(sys.modules, "ouster.client", client)
+    monkeypatch.setitem(sys.modules, "ouster.pcap", pcap)
+
+    pcap_file = tmp_path / "rec.pcap"
+    pcap_file.write_bytes(b"\x00")
+    (tmp_path / "rec.json").write_text("{}")
+
+    ds = dataset_factory("ouster", pcap_file)
+    assert len(ds) == 2
+    xyz, ts = ds[0]
+    sel = np.ones((h, w), bool)
+    sel[0, 0] = sel[2, 5] = False
+    assert xyz.shape == (h * w - 2, 3)
+    # each kept point's timestamp is column/w; its y coordinate IS its column
+    np.testing.assert_allclose(ts, xyz[:, 1] / w, atol=1e-12)
+    expected_ts = np.tile(np.arange(w) / w, (h, 1))[sel]
+    np.testing.assert_allclose(ts, expected_ts, atol=1e-12)
+    np.testing.assert_allclose(ds.get_frames_timestamps()[0], 5.0, atol=1e-6)
+    # sequential-read contract
+    ds[1]
+    with pytest.raises(AssertionError):
+        ds[1]
 
 
 def test_nuscenes_loader(tmp_path):
@@ -199,19 +434,42 @@ def test_nuscenes_loader(tmp_path):
     def dump(name, rows):
         (tdir / f"{name}.json").write_text(json.dumps(rows))
 
+    fn2 = "sweeps/lidar_top_1.pcd.bin"
+    (tmp_path / fn2).write_bytes(scan.tobytes())
+
+    # nuScenes stores quaternions as [w, x, y, z]; pose = ego_pose @ calib.
+    R_ego = [_R.from_euler("ZYX", [0.5, -0.2, 0.1]), _R.from_euler("ZYX", [0.9, 0.3, -0.4])]
+    t_ego = [[5.0, 6.0, 7.0], [5.5, 6.5, 7.5]]
+    R_cal = _R.from_euler("ZYX", [0.05, 0.02, -0.01])
+    t_cal = [0.1, 0.0, 0.3]
+
+    def wxyz(r):
+        x, y, z, w = r.as_quat()
+        return [w, x, y, z]
+
     dump("scene", [{"token": "sc0", "name": "scene-0001", "first_sample_token": "sa0"}])
     dump("sample", [{"token": "sa0"}])
     dump("sample_data", [
-        {"token": "sd0", "sample_token": "sa0", "filename": fn, "prev": "", "next": "",
+        {"token": "sd0", "sample_token": "sa0", "filename": fn, "prev": "", "next": "sd1",
          "ego_pose_token": "ep0", "calibrated_sensor_token": "cs0"},
+        {"token": "sd1", "sample_token": "sa0", "filename": fn2, "prev": "sd0", "next": "",
+         "ego_pose_token": "ep1", "calibrated_sensor_token": "cs0"},
     ])
-    dump("ego_pose", [{"token": "ep0", "rotation": [1, 0, 0, 0], "translation": [5, 6, 7]}])
-    dump("calibrated_sensor", [{"token": "cs0", "rotation": [1, 0, 0, 0], "translation": [0.1, 0, 0]}])
+    dump("ego_pose", [
+        {"token": "ep0", "rotation": wxyz(R_ego[0]), "translation": t_ego[0]},
+        {"token": "ep1", "rotation": wxyz(R_ego[1]), "translation": t_ego[1]},
+    ])
+    dump("calibrated_sensor", [{"token": "cs0", "rotation": wxyz(R_cal), "translation": t_cal}])
 
     ds = dataset_factory("nuscenes", tmp_path, sequence=1)
-    assert len(ds) == 1
+    assert len(ds) == 2
     np.testing.assert_allclose(ds[0], scan[:, :3], atol=1e-6)
     np.testing.assert_allclose(ds.gt_poses[0], np.eye(4), atol=1e-9)
+    P = [
+        _se3(R_ego[i].as_matrix(), t_ego[i]) @ _se3(R_cal.as_matrix(), t_cal)
+        for i in range(2)
+    ]
+    np.testing.assert_allclose(ds.gt_poses[1], np.linalg.inv(P[0]) @ P[1], atol=1e-9)
 
 
 def test_paris_luco_loader(tmp_path):
@@ -246,13 +504,20 @@ def test_tum_loader(tmp_path):
     depth[4, 4] = 10000  # 2 m
     Image.fromarray(depth, mode="I;16").save(tmp_path / "depth" / "0.png")
     (tmp_path / "depth.txt").write_text("1.00 depth/0.png\n")
-    (tmp_path / "groundtruth.txt").write_text("1.00 1 2 3 0 0 0 1\n")
+    qx, qy, qz, qw = _R.from_euler("ZYX", [0.6, -0.25, 0.35]).as_quat()
+    (tmp_path / "groundtruth.txt").write_text(f"1.00 1 2 3 {qx} {qy} {qz} {qw}\n")
 
     ds = dataset_factory("tum", tmp_path)
     pts = ds[0]
     assert pts.shape == (2, 3)
     np.testing.assert_allclose(sorted(pts[:, 2]), [1.0, 2.0], atol=1e-6)
     np.testing.assert_allclose(ds.gt_poses[0][:3, 3], [1, 2, 3])
+    # TUM quats are (qx, qy, qz, qw) columns — non-trivial-attitude oracle
+    np.testing.assert_allclose(
+        ds.gt_poses[0][:3, :3],
+        _R.from_euler("ZYX", [0.6, -0.25, 0.35]).as_matrix(),
+        atol=1e-9,
+    )
 
 
 @pytest.mark.parametrize("name,needs", [

@@ -122,24 +122,59 @@ class NCLTDataset:
 
 class MulranDataset:
     """MulRan Ouster scans (`datasets/mulran.py` equivalent): KITTI-style bin
-    with per-point relative timestamps reconstructed column-major."""
+    with the fixed 64x1024 column-index timestamps, timestamp-matched
+    global_pose.csv ground truth, and the base<->lidar calibration."""
+
+    # calib_base2ouster.txt: t=[1.7042, -0.021, 1.8047],
+    # rpy=[0.0001, 0.0003, 179.6654] deg (`mulran.py:89-96`).
+    T_LIDAR_TO_BASE = np.array([
+        [-9.9998295e-01, -5.8398386e-03, -5.2257060e-06, 1.7042000e00],
+        [5.8398386e-03, -9.9998295e-01, 1.7758769e-06, -2.1000000e-02],
+        [-5.2359878e-06, 1.7453292e-06, 1.0000000e00, 1.8047000e00],
+        [0.0000000e00, 0.0000000e00, 0.0000000e00, 1.0000000e00],
+    ])
 
     def __init__(self, data_dir: Path, *_, **__):
         self.data_dir = Path(data_dir)
-        self.scan_files = sorted((self.data_dir / "Ouster").glob("*.bin"))
+        self.scan_files = sorted(str(p) for p in (self.data_dir / "Ouster").glob("*.bin"))
         self.sequence_id = os.path.basename(str(data_dir))
         if not self.scan_files:
             raise FileNotFoundError(f"No MulRan scans under {data_dir}/Ouster")
+        self.scan_timestamps = [
+            int(os.path.basename(t).split(".")[0]) for t in self.scan_files
+        ]
+        pose_file = self.data_dir / "global_pose.csv"
+        self.gt_poses = self.load_gt_poses(pose_file) if pose_file.exists() else None
 
     def __len__(self):
         return len(self.scan_files)
 
+    @staticmethod
+    def get_timestamps():
+        h, w = 64, 1024
+        return np.floor(np.arange(h * w) / h) / w
+
     def __getitem__(self, idx):
         xyzi = np.fromfile(self.scan_files[idx], dtype=np.float32).reshape(-1, 4)
         frame = xyzi[:, :3].astype(np.float64)
-        n = frame.shape[0]
-        timestamps = np.tile(np.linspace(0, 1.0, max(n // 1024, 1)), 1024)[:n]
+        timestamps = self.get_timestamps()
+        if frame.shape[0] != timestamps.shape[0]:
+            # Broken point clouds fall back to no timestamps (`mulran.py:50-52`).
+            return frame, np.ones(frame.shape[0])
         return frame, timestamps
+
+    def load_gt_poses(self, poses_file):
+        data = np.atleast_2d(np.loadtxt(poses_file, delimiter=","))
+        timestamps, rows = data[:, 0], data[:, 1:]
+        n = rows.shape[0]
+        poses = np.concatenate(
+            [rows, np.tile([0.0, 0.0, 0.0, 1.0], (n, 1))], axis=1
+        ).reshape(n, 4, 4)
+        # One pose per scan: nearest CSV timestamp (`mulran.py:79`).
+        poses = poses[[np.argmin(abs(timestamps - t)) for t in self.scan_timestamps]]
+        poses = np.linalg.inv(poses[0]) @ poses
+        T_lb = self.T_LIDAR_TO_BASE
+        return T_lb @ poses @ np.linalg.inv(T_lb)
 
 
 # --------------------------------------------------------------------------
@@ -224,8 +259,9 @@ class BoreasDataset:
 
     @staticmethod
     def get_transformation_matrix(x, y, z, yaw, pitch, roll):
-        # The Applanix convention composes transposed axis rotations
-        # (`boreas.py:74-96`): C_enu_sensor = rotz(ya)' roty(p)' rotx(r)'.
+        # Applanix convention (`boreas.py:74-96`): the per-axis matrices are
+        # written in transposed (passive) form and composed as
+        # C_enu_sensor = R_roll @ R_pitch @ R_yaw == (Rz(ya) Ry(p) Rx(r))^T.
         cy, sy = np.cos(yaw), np.sin(yaw)
         cp, sp = np.cos(pitch), np.sin(pitch)
         cr, sr = np.cos(roll), np.sin(roll)
@@ -233,7 +269,7 @@ class BoreasDataset:
         R_pitch = np.array([[cp, 0, -sp], [0, 1, 0], [sp, 0, cp]])
         R_roll = np.array([[1, 0, 0], [0, cr, sr], [0, -sr, cr]])
         T = np.identity(4)
-        T[:3, :3] = R_yaw.T @ R_pitch.T @ R_roll.T
+        T[:3, :3] = R_roll @ R_pitch @ R_yaw
         T[:3, 3] = [x, y, z]
         return T
 
@@ -367,10 +403,13 @@ class NewerCollegeDataset:
 
     @staticmethod
     def get_pcd_filenames(scans_folder):
-        regex = re.compile(r"^cloud_(\d*_\d*)")
+        # cloud_<secs>_<nsecs>.pcd: sort by integer time, not lexicographically
+        # (`ncd.py:76-84` — non-zero-padded nsecs would otherwise misorder).
+        regex = re.compile(r"^cloud_(\d*)_(\d*)")
 
         def ts(name):
-            return regex.search(name).group(1)
+            secs, nsecs = regex.search(name).groups()
+            return int(secs) * 10**9 + int(nsecs)
 
         return sorted(os.listdir(scans_folder), key=ts)
 
@@ -383,6 +422,12 @@ class NewerCollegeDataset:
             poses[i, :3, :3] = _quat_wxyz_to_matrix(qw, qx, qy, qz)
         poses[:, :3, 3] = xyz
         poses[:, 3, 3] = 1
+        # Fixed camera->lidar extrinsic right-multiplied into every pose before
+        # the first-pose normalization (`ncd.py:99-104`).
+        T_CL = np.eye(4)
+        T_CL[:3, :3] = _quat_wxyz_to_matrix(0.383, 0.0, 0.0, 0.924)
+        T_CL[:3, 3] = [-0.084, -0.025, 0.050]
+        poses = np.einsum("nij,jk->nik", poses, T_CL)
         return np.einsum("...ij,...jk->...ik", np.linalg.inv(poses[0]), poses)
 
 
@@ -463,15 +508,18 @@ class OusterDataloader:
             ) from e
         import json
 
+        self._client = client
         meta = meta or self._find_metadata_json(str(data_dir))
         with open(meta) as f:
             self._info = client.SensorInfo(f.read())
-        self._source = pcap.Pcap(str(data_dir), self._info)
-        self._scans = client.Scans(self._source)
         self._xyzlut = client.XYZLut(self._info)
         self.sequence_id = os.path.basename(str(data_dir)).split(".")[0]
-        self._iter = iter(self._scans)
         self._n = sum(1 for _ in client.Scans(pcap.Pcap(str(data_dir), self._info)))
+        # Per-frame absolute timestamps, filled during the sequential read
+        # (`ouster.py:125-137`).
+        self._timestamps = np.linspace(0, self._n, self._n, endpoint=False)
+        self._iter = iter(client.Scans(pcap.Pcap(str(data_dir), self._info)))
+        self._next_idx = 0
 
     @staticmethod
     def _find_metadata_json(pcap_file):
@@ -485,12 +533,24 @@ class OusterDataloader:
     def __len__(self):
         return self._n
 
+    def get_frames_timestamps(self):
+        return self._timestamps
+
     def __getitem__(self, idx):
+        # Sequential-read contract, per-COLUMN relative timestamps tiled across
+        # rows, and zero-range return filtering (`ouster.py:131-146`): the
+        # (h, w) range image is row-major, so point i sits in column i % w.
+        assert self._next_idx == idx, (
+            "Ouster pcap dataloader supports only sequential reads. "
+            f"Expected idx: {self._next_idx}, but got {idx}"
+        )
         scan = next(self._iter)
-        xyz = self._xyzlut(scan).reshape(-1, 3)
-        ts = scan.timestamp
-        ts = (ts - ts.min()) / max(ts.max() - ts.min(), 1)
-        return xyz.astype(np.float64), np.repeat(ts, xyz.shape[0] // ts.shape[0])
+        self._next_idx += 1
+        self._timestamps[self._next_idx - 1] = 1e-9 * scan.timestamp[0]
+        timestamps = np.tile(np.linspace(0, 1.0, scan.w, endpoint=False), (scan.h, 1))
+        sel = scan.field(self._client.ChanField.RANGE) != 0
+        xyz = self._xyzlut(scan)[sel]
+        return xyz.astype(np.float64), timestamps[sel]
 
 
 class ParisLucoDataset:

@@ -186,10 +186,10 @@ def _condense_and_extract(merges: np.ndarray, n: int, min_cluster_size: int) -> 
             if child_sum > stability[cid] and cid != 0:
                 score[cid] = child_sum
                 selected[cid] = False
-            elif cid == 0:
-                # The root is never selected (it is "all data"); prefer children.
-                score[cid] = child_sum
-                selected[cid] = False
+    # The root is never selected (it is "all data"), even when the condensed
+    # tree has no split at all — hdbscan/sklearn with allow_single_cluster=False
+    # then return all-noise, not one all-points cluster.
+    selected[0] = False
     # Deselect descendants of selected clusters.
     keep = np.zeros(n_clusters, dtype=bool)
     stack = [(0, False)]
