@@ -1,0 +1,120 @@
+"""ctypes bindings for the native KD-tree (auto-built with make on first use).
+
+`NativeKDTree` is the host-side NN runtime replacing the reference's external
+NN libraries on the ragged host paths: faiss `FaissKNeighbors`
+(`vfm_reg/utils.py:19-44`) behind `utils.pcl.KNeighbors`, and the hdbscan
+library's KD-tree Boruvka MST (`registration_node.py:735`) behind
+`utils.hdbscan`. Falls back to `None` (callers keep a numpy path) when the
+toolchain is unavailable.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import subprocess
+from pathlib import Path
+from typing import Optional, Tuple
+
+import numpy as np
+
+_LIB = None
+_BUILD_FAILED = False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _LIB, _BUILD_FAILED
+    if _LIB is not None or _BUILD_FAILED:
+        return _LIB
+    here = Path(__file__).parent
+    so = here / "libkdtree.so"
+    if not so.exists():
+        try:
+            subprocess.run(
+                ["make", "-C", str(here), "libkdtree.so"],
+                check=True, capture_output=True, timeout=120,
+            )
+        except Exception:
+            _BUILD_FAILED = True
+            return None
+    try:
+        lib = ctypes.CDLL(str(so))
+    except OSError:
+        _BUILD_FAILED = True
+        return None
+
+    f64p = ctypes.POINTER(ctypes.c_double)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.kd_build.restype = ctypes.c_void_p
+    lib.kd_build.argtypes = [f64p, ctypes.c_int64, ctypes.c_int]
+    lib.kd_free.argtypes = [ctypes.c_void_p]
+    lib.kd_knn.argtypes = [ctypes.c_void_p, f64p, ctypes.c_int64, ctypes.c_int, i64p, f64p]
+    lib.kd_mst_mutual_reachability.restype = ctypes.c_int64
+    lib.kd_mst_mutual_reachability.argtypes = [ctypes.c_void_p, f64p, i64p, i64p, f64p]
+    _LIB = lib
+    return _LIB
+
+
+def native_kdtree_available() -> bool:
+    return _load() is not None
+
+
+def _f64(a: np.ndarray) -> np.ndarray:
+    return np.ascontiguousarray(a, dtype=np.float64)
+
+
+class NativeKDTree:
+    """Median-split KD-tree over [n, d] float64 points (squared-L2 k-NN +
+    mutual-reachability Boruvka MST), OpenMP-parallel queries."""
+
+    def __init__(self, points: np.ndarray):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native kdtree library unavailable (build failed)")
+        self._lib = lib
+        pts = _f64(np.atleast_2d(points))
+        self.n, self.dim = pts.shape
+        self._pts = pts  # keep alive until kd_build copies... (copies at build)
+        self._h = lib.kd_build(
+            pts.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            ctypes.c_int64(self.n), ctypes.c_int(self.dim),
+        )
+
+    def __del__(self):
+        h = getattr(self, "_h", None)
+        if h:
+            self._lib.kd_free(h)
+            self._h = None
+
+    def knn(self, queries: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
+        """k nearest neighbors per query: ([nq, k] indices, [nq, k] squared
+        distances), ascending; index -1 / inf pads where k > n."""
+        q = _f64(np.atleast_2d(queries))
+        nq = q.shape[0]
+        assert q.shape[1] == self.dim
+        idx = np.empty((nq, k), dtype=np.int64)
+        d2 = np.empty((nq, k), dtype=np.float64)
+        self._lib.kd_knn(
+            self._h,
+            q.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            ctypes.c_int64(nq), ctypes.c_int(k),
+            idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            d2.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        )
+        return idx, d2
+
+    def mst_mutual_reachability(self, core: np.ndarray) -> np.ndarray:
+        """Exact MST of mr(a,b) = max(core_a, core_b, ||a-b||): [n-1, 3] rows
+        (a, b, weight)."""
+        c = _f64(core).reshape(-1)
+        assert c.shape[0] == self.n
+        a = np.empty(max(self.n - 1, 1), dtype=np.int64)
+        b = np.empty(max(self.n - 1, 1), dtype=np.int64)
+        w = np.empty(max(self.n - 1, 1), dtype=np.float64)
+        m = self._lib.kd_mst_mutual_reachability(
+            self._h,
+            c.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            b.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            w.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        )
+        return np.column_stack([a[:m].astype(np.float64), b[:m].astype(np.float64), w[:m]])

@@ -8,11 +8,19 @@ item 9). The implementation follows Campello et al. 2013 exactly:
   1. core distance  = distance to the `min_samples`-th nearest neighbor
      (self included, matching the hdbscan library's `tree.query(X, k)` use);
   2. mutual reachability  mr(a, b) = max(core_a, core_b, d(a, b));
-  3. minimum spanning tree of the mutual-reachability graph (dense Prim,
-     vectorized rows — O(n^2) time, O(n) memory);
+  3. minimum spanning tree of the mutual-reachability graph — native KD-tree
+     Boruvka (`native/kdtree.cpp`, exact, OpenMP), the counterpart of the
+     hdbscan library's KDTreeBoruvkaAlgorithm; dense vectorized Prim
+     (O(n^2) time, O(n) memory) as the no-toolchain fallback;
   4. single-linkage hierarchy from the sorted MST edges (union-find);
   5. tree condensation at `min_cluster_size`;
   6. stability-based excess-of-mass cluster selection; noise -> label -1.
+
+Measured scale (3D points, 50k = the upper end of a cluster-removal subset):
+end-to-end `hdbscan_labels` ~3.2 s — tree build 0.015 s + 25-NN core
+distances 0.21 s + Boruvka MST 0.50 s, remainder in the Python
+condense/extract. The dense fallback needs ~2.5x10^9 distance evaluations at
+that size and is for small inputs only.
 
 Label VALUES are arbitrary (as in every HDBSCAN implementation); the
 PARTITION is what parity with the reference requires, and
@@ -33,6 +41,19 @@ def _core_distances(x: np.ndarray, min_samples: int, chunk: int = 2048) -> np.nd
         # k-th smallest including self (self distance 0 is column b+i).
         out[b : b + chunk] = np.sqrt(np.partition(d2, k - 1, axis=1)[:, k - 1])
     return out
+
+
+def _mst_native(x: np.ndarray, min_samples: int):
+    """KD-tree core distances + exact Boruvka MST (native path), or None."""
+    from vfmreg_tpu.native.kdtree import NativeKDTree, native_kdtree_available
+
+    if not native_kdtree_available():
+        return None
+    tree = NativeKDTree(x)
+    k = min(min_samples, x.shape[0])
+    _, d2 = tree.knn(x, k)
+    core = np.sqrt(d2[:, k - 1])
+    return tree.mst_mutual_reachability(core)
 
 
 def _mst_mutual_reachability(x: np.ndarray, core: np.ndarray):
@@ -229,7 +250,9 @@ def hdbscan_labels(points: np.ndarray, min_cluster_size: int = 100, min_samples:
     n = x.shape[0]
     if n < max(min_cluster_size, 2):
         return np.full(n, -1, dtype=np.int64)
-    core = _core_distances(x, min_samples)
-    edges = _mst_mutual_reachability(x, core)
+    edges = _mst_native(x, min_samples)
+    if edges is None:
+        core = _core_distances(x, min_samples)
+        edges = _mst_mutual_reachability(x, core)
     merges = _single_linkage(edges, n)
     return _condense_and_extract(merges, n, min_cluster_size)
