@@ -1,16 +1,31 @@
-"""Adversarial recall parity: the TPU method matrix vs a slow trusted oracle.
+"""Adversarial recall parity: the FULL TPU method matrix vs slow trusted oracles.
 
-Standing substitute for the unavailable NCLT/RobotCar data (VERDICT r1 item 5):
-three hard synthetic regimes — outlier-heavy descriptors, partial overlap,
-repetitive structure — are registered by BOTH the vfmreg_tpu pipeline
-(device cosine matching + device RANSAC/TEASER + candidate-cached ICP) and an
-independent numpy/scipy oracle (exact dense cosine 1-NN + vectorized
-SVD-Kabsch RANSAC with the same hypothesis budget + cKDTree ICP). The test
-fails if any method's recall at the paper gate (RTE < 0.6 m, RRE < 1.5 deg)
-drops below the oracle's — i.e. if the sorted-grid / champion-cache / MAD /
-clique approximations cost recall the reference algorithm would not lose.
+Standing substitute for the unavailable NCLT/RobotCar data (VERDICT r1 item 5,
+extended to the whole matrix in r3 per VERDICT r2 item 2): three hard synthetic
+regimes — outlier-heavy descriptors, partial overlap, repetitive structure —
+plus a sparse-scan regime that forces the harness's 5 m -> 1 m correspondence
+retry. Each method row of the reference matrix (`registration_node.py:866-932`)
+is registered by BOTH the vfmreg_tpu pipeline and an independent numpy/scipy
+oracle, over >=3 seeds x 8 cases per regime:
 
-Reference behavior: the method matrix of `registration_node.py:866-932`.
+  * vfm_ransac_icp — device cosine matching (with the 5 m -> 1 m retry of
+    `registration_node.py:420-423`) + device RANSAC + candidate-cached ICP, vs
+    dense cosine 1-NN + vectorized SVD-Kabsch RANSAC (same budget, the o3d
+    min-RMSE objective) + cKDTree GM ICP.
+  * teaser_exact — device bitset branch-and-bound max clique + GNC-TLS
+    (`registration/teaser.py`, the PMC_EXACT path of `registration_node.py:
+    112-127`), vs pure-Python Bron-Kerbosch max clique + Kabsch on the clique.
+  * pointdsc — the jitted PointDSC pipeline with seeded random weights
+    (`models/pointdsc.py`; random weights still register: the spatial
+    consistency matrices carry the geometry), vs an unpadded numpy
+    transcription of the reference mechanics (`pointdsc/PointDSC.py:132-480`)
+    running the SAME weights.
+  * fpfh_mutual — repo FPFH descriptors -> device mutual-NN + RANSAC + ICP, vs
+    scipy-cKDTree mutual-NN (`registration_node.py:482-538` semantics) on the
+    same descriptors + the numpy RANSAC/ICP oracle.
+
+Every row fails if its recall at the paper gate (RTE < 0.6 m, RRE < 1.5 deg)
+drops more than 0.5 pt below its oracle's.
 """
 
 import numpy as np
@@ -28,6 +43,9 @@ pytestmark = pytest.mark.slow
 GATE_RTE, GATE_RRE = 0.6, 1.5
 N_HYPOTHESES = 8192  # same budget for both pipelines
 D = 24
+SEEDS = [11, 23, 47]
+N_CASES = 8
+MAX_TOLERATED_LOSS = 0.005  # 0.5 pt
 
 
 # ------------------------------------------------------------------ regimes
@@ -72,6 +90,14 @@ def _make_case(rng, regime):
         win = np.abs(pts[:, 0] + 10.0) < 16.0
         scan_world = pts[win]
         scan_feats = feats[win]
+    elif regime == "sparse_retry":
+        # A small, thin scan window: after 5 m voxelization the scan has far
+        # fewer than 75 points, forcing the 1 m retry on both pipelines
+        # (`registration_node.py:420-423`).
+        map_pts, map_feats = pts, feats
+        win = (np.abs(pts[:, 0] - 12.0) < 9.0) & (np.abs(pts[:, 1] - 5.0) < 9.0)
+        scan_world = pts[win]
+        scan_feats = feats[win]
     else:
         map_pts, map_feats = pts, feats
         sel = rng.choice(len(pts), 2500, replace=False)
@@ -97,49 +123,15 @@ def _make_case(rng, regime):
     )
 
 
-# ------------------------------------------------------------------- oracle
-def _oracle_register(map_pts, map_feats, scan, scan_feats, rng):
-    """Trusted reference pipeline: dense cosine 1-NN (>=0.8) -> vectorized
-    Kabsch RANSAC (n=3, N_HYPOTHESES) -> cKDTree GM-weighted point-to-point
-    ICP. Pure numpy/scipy."""
-    mf = map_feats / np.maximum(np.linalg.norm(map_feats, axis=1, keepdims=True), 1e-12)
-    sf = scan_feats / np.maximum(np.linalg.norm(scan_feats, axis=1, keepdims=True), 1e-12)
-    sim = sf @ mf.T
-    j = sim.argmax(axis=1)
-    ok = sim[np.arange(len(sf)), j] >= 0.8
-    src, tgt = scan[ok], map_pts[j[ok]]
-    if len(src) < 3:
-        return np.eye(4)
-
-    # RANSAC over minimal samples with SVD Kabsch, inlier count at 0.3 m.
-    idx = rng.randint(0, len(src), (N_HYPOTHESES, 3))
-    a = src[idx]  # [H, 3, 3]
-    b = tgt[idx]
-    ca = a - a.mean(axis=1, keepdims=True)
-    cb = b - b.mean(axis=1, keepdims=True)
-    H = np.einsum("hij,hik->hjk", ca, cb)
-    U, _, Vt = np.linalg.svd(H)
-    det = np.linalg.det(np.einsum("hij,hjk->hik", np.transpose(Vt, (0, 2, 1)), np.transpose(U, (0, 2, 1))))
-    S = np.tile(np.eye(3), (len(a), 1, 1))
-    S[:, 2, 2] = det
-    R = np.einsum("hij,hjk,hkl->hil", np.transpose(Vt, (0, 2, 1)), S, np.transpose(U, (0, 2, 1)))
-    t = b.mean(axis=1) - np.einsum("hij,hj->hi", R, a.mean(axis=1))
-    moved = np.einsum("hij,nj->hni", R, src) + t[:, None, :]
-    # Reference objective: o3d RANSAC at max_corr_dist=10000 puts every
-    # correspondence in the inlier set, so the model with the lowest RMSE over
-    # ALL correspondences wins (`registration_node.py:319-327`).
-    rmse = np.sqrt(np.mean(np.sum((moved - tgt[None]) ** 2, axis=-1), axis=1))
-    best = int(np.argmin(rmse))
-    pose = np.eye(4)
-    pose[:3, :3], pose[:3, 3] = R[best], t[best]
-
-    # GM-kernel point-to-point ICP refine (the oracle's trusted refinement).
+# ------------------------------------------------------------- oracle pieces
+def _icp_refine(map_pts, scan, pose, max_dist=1.0, kernel=0.333, iters=60):
+    """cKDTree GM-kernel point-to-point ICP (the oracle's trusted refinement)."""
     tree = cKDTree(map_pts)
     cur = scan @ pose[:3, :3].T + pose[:3, 3]
-    kernel = 0.333
-    for _ in range(60):
+    pose = pose.copy()
+    for _ in range(iters):
         d, nn = tree.query(cur, workers=-1)
-        keep = d < 1.0
+        keep = d < max_dist
         if keep.sum() < 10:
             break
         w = kernel**2 / (kernel + d[keep] ** 2) ** 2
@@ -159,21 +151,94 @@ def _oracle_register(map_pts, map_feats, scan, scan_feats, rng):
     return pose
 
 
+def _kabsch_ransac(src, tgt, rng, n_hyp=N_HYPOTHESES):
+    """Vectorized SVD-Kabsch RANSAC with the o3d min-RMSE-over-all objective
+    (`registration_node.py:319-327`)."""
+    idx = rng.randint(0, len(src), (n_hyp, 3))
+    a, b = src[idx], tgt[idx]
+    ca = a - a.mean(axis=1, keepdims=True)
+    cb = b - b.mean(axis=1, keepdims=True)
+    H = np.einsum("hij,hik->hjk", ca, cb)
+    U, _, Vt = np.linalg.svd(H)
+    det = np.linalg.det(
+        np.einsum("hij,hjk->hik", np.transpose(Vt, (0, 2, 1)), np.transpose(U, (0, 2, 1)))
+    )
+    S = np.tile(np.eye(3), (len(a), 1, 1))
+    S[:, 2, 2] = det
+    R = np.einsum("hij,hjk,hkl->hil", np.transpose(Vt, (0, 2, 1)), S, np.transpose(U, (0, 2, 1)))
+    t = b.mean(axis=1) - np.einsum("hij,hj->hi", R, a.mean(axis=1))
+    moved = np.einsum("hij,nj->hni", R, src) + t[:, None, :]
+    rmse = np.sqrt(np.mean(np.sum((moved - tgt[None]) ** 2, axis=-1), axis=1))
+    best = int(np.argmin(rmse))
+    pose = np.eye(4)
+    pose[:3, :3], pose[:3, 3] = R[best], t[best]
+    return pose
+
+
+def _first_wins_voxel(pts, voxel, feats=None):
+    """First-point-wins voxel downsample (C-trunc parity, numpy oracle)."""
+    keys = np.trunc(pts / voxel).astype(np.int64)
+    _, first = np.unique(keys, axis=0, return_index=True)
+    first.sort()
+    if feats is None:
+        return pts[first]
+    return pts[first], feats[first]
+
+
+def _cosine_corr(map_pts, map_feats, scan, scan_feats, min_sim=0.8):
+    mf = map_feats / np.maximum(np.linalg.norm(map_feats, axis=1, keepdims=True), 1e-12)
+    sf = scan_feats / np.maximum(np.linalg.norm(scan_feats, axis=1, keepdims=True), 1e-12)
+    sim = sf @ mf.T
+    j = sim.argmax(axis=1)
+    ok = sim[np.arange(len(sf)), j] >= min_sim
+    return scan[ok], map_pts[j[ok]]
+
+
+def _oracle_register(map_pts, map_feats, scan, scan_feats, rng):
+    """Trusted vfm pipeline: 5 m-voxelized scan -> dense cosine 1-NN (>=0.8),
+    retry at 1 m when sparse (`registration_node.py:420-423`) -> Kabsch RANSAC
+    -> cKDTree GM ICP. Pure numpy/scipy."""
+    v_scan, v_feats = _first_wins_voxel(scan, 5.0, scan_feats)
+    src, tgt = _cosine_corr(map_pts, map_feats, v_scan, v_feats)
+    if len(src) < 75:
+        v_scan, v_feats = _first_wins_voxel(scan, 1.0, scan_feats)
+        src, tgt = _cosine_corr(map_pts, map_feats, v_scan, v_feats)
+    if len(src) < 3:
+        return np.eye(4)
+    pose = _kabsch_ransac(src, tgt, rng)
+    return _icp_refine(map_pts, scan, pose)
+
+
 # ------------------------------------------------------------------- device
-def _device_register(map_pts, map_feats, scan, scan_feats):
-    """The shipped path: device grid + cosine matching + device RANSAC +
-    candidate-cached VFM ICP (the harness's vfm_ransac_icp method)."""
-    from vfmreg_tpu.ops.hash_grid import build_hash_grid
+def _device_vfm_corr(grid, scan, scan_feats, voxel):
+    from vfmreg_tpu.kiss.voxelization import voxel_down_sample
     from vfmreg_tpu.ops.matching import get_vfm_correspondences
+    from vfmreg_tpu.ops.voxel import bucket_size
+
+    v = np.asarray(voxel_down_sample(np.c_[scan, scan_feats], voxel))
+    n = bucket_size(v.shape[0])
+    pad = n - v.shape[0]
+    mask = np.zeros(n, bool)
+    mask[: v.shape[0]] = True
+    v = np.pad(v, ((0, pad), (0, 0)))
+    return get_vfm_correspondences(
+        grid.points, grid.feats, grid.valid,
+        jnp.asarray(v[:, :3]), jnp.asarray(v[:, 3:]),
+        jnp.asarray(mask), chunk=2048,
+    )
+
+
+def _device_register(map_pts, map_feats, scan, scan_feats):
+    """The shipped vfm row: device grid + cosine matching (5 m scan voxels,
+    1 m retry below 75 correspondences) + device RANSAC + candidate-cached ICP."""
+    from vfmreg_tpu.ops.hash_grid import build_hash_grid
     from vfmreg_tpu.registration.icp import register_frame_icp
     from vfmreg_tpu.registration.ransac import ransac_registration
 
     grid = build_hash_grid(jnp.asarray(map_pts), 1.0, feats=jnp.asarray(map_feats))
-    corr = get_vfm_correspondences(
-        grid.points, grid.feats, grid.valid,
-        jnp.asarray(scan), jnp.asarray(scan_feats),
-        jnp.ones(len(scan), bool), chunk=2048,
-    )
+    corr = _device_vfm_corr(grid, scan, scan_feats, 5.0)
+    if int(np.asarray(corr.mask).sum()) < 75:
+        corr = _device_vfm_corr(grid, scan, scan_feats, 1.0)
     out = ransac_registration(
         corr.source, corr.target, corr.mask, jax.random.PRNGKey(3),
         num_hypotheses=N_HYPOTHESES,
@@ -186,25 +251,372 @@ def _device_register(map_pts, map_feats, scan, scan_feats):
     return np.asarray(refined, dtype=np.float64)
 
 
+def _device_icp(map_pts, map_feats, scan, pose):
+    from vfmreg_tpu.ops.hash_grid import build_hash_grid
+    from vfmreg_tpu.registration.icp import register_frame_icp
+
+    grid = build_hash_grid(jnp.asarray(map_pts), 1.0, feats=jnp.asarray(map_feats))
+    refined = register_frame_icp(
+        grid, jnp.asarray(scan), jnp.ones(len(scan), bool),
+        jnp.asarray(pose, dtype=jnp.float32),
+        jnp.float32(1.0), jnp.float32(0.333),
+    )
+    return np.asarray(refined, dtype=np.float64)
+
+
+# --------------------------------------------------------------- teaser row
+def _bk_max_clique(adj):
+    """Exact maximum clique: pure-Python Bron-Kerbosch with pivoting over
+    bitmask ints (independent of `registration.max_clique`)."""
+    n = adj.shape[0]
+    nbr = []
+    for i in range(n):
+        m = 0
+        for j in np.flatnonzero(adj[i]):
+            m |= 1 << int(j)
+        nbr.append(m)
+    best = [0, 0]  # (size, mask)
+
+    def bk(r_mask, r_size, p_mask, x_mask):
+        if p_mask == 0 and x_mask == 0:
+            if r_size > best[0]:
+                best[0], best[1] = r_size, r_mask
+            return
+        if r_size + bin(p_mask).count("1") <= best[0]:
+            return
+        # pivot: vertex in P|X with most neighbors in P
+        px = p_mask | x_mask
+        pivot, pivot_deg = -1, -1
+        m = px
+        while m:
+            v = (m & -m).bit_length() - 1
+            deg = bin(p_mask & nbr[v]).count("1")
+            if deg > pivot_deg:
+                pivot, pivot_deg = v, deg
+            m &= m - 1
+        cand = p_mask & ~nbr[pivot]
+        while cand:
+            v = (cand & -cand).bit_length() - 1
+            vb = 1 << v
+            bk(r_mask | vb, r_size + 1, p_mask & nbr[v], x_mask & nbr[v])
+            p_mask &= ~vb
+            x_mask |= vb
+            cand &= cand - 1
+
+    bk(0, 0, (1 << n) - 1, 0)
+    out = np.zeros(n, bool)
+    for j in range(n):
+        if best[1] >> j & 1:
+            out[j] = True
+    return out
+
+
+def _oracle_teaser(map_pts, src, tgt, scan, noise_bound=0.2):
+    """Independent TEASER-style oracle: exact BK max clique on the pairwise
+    consistency graph (|d_src - d_tgt| <= 2*noise_bound), Kabsch on the clique,
+    cKDTree ICP refine."""
+    d_src = np.linalg.norm(src[:, None] - src[None], axis=-1)
+    d_tgt = np.linalg.norm(tgt[:, None] - tgt[None], axis=-1)
+    adj = np.abs(d_src - d_tgt) <= 2.0 * noise_bound
+    np.fill_diagonal(adj, False)
+    clique = _bk_max_clique(adj)
+    if clique.sum() < 3:
+        return np.eye(4)
+    a, b = src[clique], tgt[clique]
+    H = (a - a.mean(0)).T @ (b - b.mean(0))
+    U, _, Vt = np.linalg.svd(H)
+    R = Vt.T @ np.diag([1, 1, np.linalg.det(Vt.T @ U.T)]) @ U.T
+    pose = np.eye(4)
+    pose[:3, :3] = R
+    pose[:3, 3] = b.mean(0) - R @ a.mean(0)
+    return _icp_refine(map_pts, scan, pose)
+
+
+def _device_teaser_row(map_pts, map_feats, src, tgt, scan):
+    from vfmreg_tpu.registration.teaser import teaser_registration_exact
+
+    n = len(src)
+    res = teaser_registration_exact(src, tgt, np.ones(n, bool), noise_bound=0.2)
+    pose = np.asarray(res.pose, dtype=np.float64)
+    return _device_icp(map_pts, map_feats, scan, pose)
+
+
+# -------------------------------------------------------------- pointdsc row
+def _np_wkabsch(a, b, w):
+    w = np.maximum(w, 0.0)
+    s = w.sum() + 1e-12
+    ca = (a * w[:, None]).sum(0) / s
+    cb = (b * w[:, None]).sum(0) / s
+    H = (a - ca).T @ ((b - cb) * w[:, None])
+    U, _, Vt = np.linalg.svd(H)
+    R = Vt.T @ np.diag([1, 1, np.linalg.det(Vt.T @ U.T)]) @ U.T
+    T = np.eye(4)
+    T[:3, :3] = R
+    T[:3, 3] = cb - R @ ca
+    return T
+
+
+def _oracle_pointdsc(params, src, tgt, sigma_d=1.2, nms_radius=0.6,
+                     inlier_threshold=0.10, num_iterations=10, k=40,
+                     refine_iters=20):
+    """Unpadded numpy transcription of the reference PointDSC inference
+    (`pointdsc/PointDSC.py:132-480`, `common.py:7-49`), run with the SAME
+    weights as the device pipeline: spatial-compatibility NonLocal encoder,
+    confidence NMS seeds, per-seed k-NN consistency matrices, power-iteration
+    leading eigenvector, weighted Procrustes, inlier-count hypothesis
+    selection, iterative post-refinement."""
+    p = jax.tree_util.tree_map(np.asarray, params)
+    n = len(src)
+    corr = np.c_[src, tgt]
+    corr = corr - corr.mean(0)
+
+    d_src = np.linalg.norm(src[:, None] - src[None], axis=-1)
+    d_tgt = np.linalg.norm(tgt[:, None] - tgt[None], axis=-1)
+    compat = np.clip(1.0 - (d_src - d_tgt) ** 2 / sigma_d**2, 0.0, None)
+
+    def bn(x, b):
+        return (x - b["mean"]) / np.sqrt(b["var"] + 1e-5) * b["gamma"] + b["beta"]
+
+    C = p["layer0"]["w"].shape[1]
+    feat = corr @ p["layer0"]["w"] + p["layer0"]["b"]
+    for blk in p["blocks"]:
+        feat = np.maximum(
+            bn(feat @ blk["pointcn"]["dense"]["w"] + blk["pointcn"]["dense"]["b"],
+               blk["pointcn"]["bn"]), 0.0)
+        Q = feat @ blk["q"]["w"] + blk["q"]["b"]
+        K = feat @ blk["k"]["w"] + blk["k"]["b"]
+        V = feat @ blk["v"]["w"] + blk["v"]["b"]
+        logits = (Q @ K.T) / np.sqrt(C)
+        z = compat * logits
+        z = z - z.max(axis=-1, keepdims=True)
+        w_att = np.exp(z)
+        w_att = w_att / w_att.sum(axis=-1, keepdims=True)
+        msg = w_att @ V
+        m = np.maximum(bn(msg @ blk["msg1"]["dense"]["w"] + blk["msg1"]["dense"]["b"],
+                          blk["msg1"]["bn"]), 0.0)
+        m = np.maximum(bn(m @ blk["msg2"]["dense"]["w"] + blk["msg2"]["dense"]["b"],
+                          blk["msg2"]["bn"]), 0.0)
+        feat = feat + m @ blk["msg3"]["w"] + blk["msg3"]["b"]
+
+    h = feat
+    for i, layer in enumerate(p["classification"]):
+        h = h @ layer["w"] + layer["b"]
+        if i < 2:
+            h = np.maximum(h, 0.0)
+    confidence = h[:, 0]
+
+    normed = feat / np.maximum(np.linalg.norm(feat, axis=-1, keepdims=True), 1e-12)
+
+    # NMS seeds (`pick_seeds`, `PointDSC.py:205-226`)
+    score_rel = (confidence[:, None] >= confidence[None, :]) | (d_src >= nms_radius)
+    is_max = np.all(score_rel, axis=-1)
+    seeds = np.argsort(-(confidence * is_max))[: max(n // 10, 1)]
+
+    sigma2 = float(np.asarray(p["sigma"])) ** 2
+    pdist = 2.0 - 2.0 * (normed @ normed.T)
+    knn = np.argsort(pdist, axis=-1)[:, 1 : k + 1][seeds]
+
+    kf = normed[knn]
+    feat_M = np.clip(1.0 - (1.0 - np.einsum("skc,slc->skl", kf, kf)) / sigma2, 0.0, None)
+    sk, tk = src[knn], tgt[knn]
+    ds = np.linalg.norm(sk[:, :, None] - sk[:, None], axis=-1)
+    dt = np.linalg.norm(tk[:, :, None] - tk[:, None], axis=-1)
+    spat_M = np.clip(1.0 - (ds - dt) ** 2 / sigma_d**2, 0.0, None)
+    total_M = feat_M * spat_M * (1.0 - np.eye(k))
+
+    v = np.ones((len(seeds), k))
+    for _ in range(num_iterations):
+        v = np.einsum("skl,sl->sk", total_M, v)
+        v = v / (np.linalg.norm(v, axis=-1, keepdims=True) + 1e-6)
+    v = v / (v.sum(axis=-1, keepdims=True) + 1e-6)
+
+    best_fit, best_T = -1.0, np.eye(4)
+    for s in range(len(seeds)):
+        T = _np_wkabsch(sk[s], tk[s], v[s])
+        moved = src @ T[:3, :3].T + T[:3, 3]
+        fit = np.mean(np.linalg.norm(moved - tgt, axis=-1) < inlier_threshold)
+        if fit > best_fit:
+            best_fit, best_T = fit, T
+
+    T = best_T
+    prev_inl = -1
+    for _ in range(refine_iters):
+        L2 = np.linalg.norm(src @ T[:3, :3].T + T[:3, 3] - tgt, axis=-1)
+        inl = L2 < inlier_threshold
+        if inl.sum() == prev_inl or inl.sum() < 3:
+            break
+        prev_inl = int(inl.sum())
+        w = np.where(inl, 1.0 / (1.0 + (L2 / inlier_threshold) ** 2), 0.0)
+        T = _np_wkabsch(src, tgt, w)
+    return T
+
+
+# ------------------------------------------------------------------ fpfh row
+def _fpfh_corrs(map_pts, scan):
+    """Shared FPFH descriptors for the fpfh row (both matchers consume the
+    same features, isolating the mutual-NN + RANSAC + ICP mechanics)."""
+    from vfmreg_tpu.descriptors import get_extractor
+
+    extractor = get_extractor("fpfh")
+    map_down, map_f = extractor(map_pts, 0.4)
+    scan_down, scan_f = extractor(scan, 0.4)
+    return map_down, map_f, scan_down, scan_f
+
+
+def _oracle_mutual_nn(f0, f1):
+    """scipy mutual-NN (`registration_node.py:482-538` semantics)."""
+    t1 = cKDTree(f1)
+    _, nn01 = t1.query(f0, workers=-1)
+    t0 = cKDTree(f0)
+    _, nn10 = t0.query(f1, workers=-1)
+    keep = nn10[nn01] == np.arange(len(f0))
+    return np.flatnonzero(keep), nn01[keep]
+
+
+def _device_mutual_nn(f0, f1):
+    from vfmreg_tpu.ops.matching import mutual_nn_correspondences
+    from vfmreg_tpu.ops.voxel import bucket_size
+
+    def pad(f):
+        n = bucket_size(f.shape[0])
+        m = np.zeros(n, bool)
+        m[: f.shape[0]] = True
+        return np.pad(f, ((0, n - f.shape[0]), (0, 0))), m
+
+    p0, m0 = pad(f0)
+    p1, m1 = pad(f1)
+    mnn = mutual_nn_correspondences(
+        jnp.asarray(p0), jnp.asarray(m0), jnp.asarray(p1), jnp.asarray(m1),
+        mutual_filter=True,
+    )
+    keep = np.asarray(mnn.mask)[: f0.shape[0]]
+    idx1 = np.asarray(mnn.idx1)[: f0.shape[0]]
+    return np.flatnonzero(keep), idx1[keep]
+
+
+# ------------------------------------------------------------------- driver
+def _recall(flags):
+    return float(np.mean(flags)) if flags else 0.0
+
+
+def _gate(pose, T):
+    rte, rre = compute_errors(pose, T)
+    return bool(rte < GATE_RTE and rre < GATE_RRE)
+
+
+def _run_regime(regime, methods):
+    from vfmreg_tpu.models.pointdsc import PointDSCModel, init_pointdsc_params
+
+    pd_params = init_pointdsc_params(jax.random.PRNGKey(5))
+    pd_model = PointDSCModel(params=pd_params)
+
+    ours = {m: [] for m in methods}
+    oracle = {m: [] for m in methods}
+    for seed in SEEDS:
+        rng = np.random.RandomState(seed)
+        for _ in range(N_CASES):
+            map_pts, map_feats, scan, scan_feats, T = _make_case(rng, regime)
+
+            if "vfm_ransac_icp" in methods:
+                ours["vfm_ransac_icp"].append(
+                    _gate(_device_register(map_pts, map_feats, scan, scan_feats), T))
+                oracle["vfm_ransac_icp"].append(
+                    _gate(_oracle_register(map_pts, map_feats, scan, scan_feats, rng), T))
+
+            if "teaser_exact" in methods or "pointdsc" in methods:
+                # shared correspondence set (1 m scan voxels, cosine >= 0.8)
+                v_scan, v_feats = _first_wins_voxel(scan, 1.0, scan_feats)
+                src, tgt = _cosine_corr(map_pts, map_feats, v_scan, v_feats)
+
+            if "teaser_exact" in methods:
+                if len(src) > 256:
+                    sub = rng.choice(len(src), 256, replace=False)
+                    s_t, t_t = src[sub], tgt[sub]
+                else:
+                    s_t, t_t = src, tgt
+                ours["teaser_exact"].append(
+                    _gate(_device_teaser_row(map_pts, map_feats, s_t, t_t, scan), T))
+                oracle["teaser_exact"].append(
+                    _gate(_oracle_teaser(map_pts, s_t, t_t, scan), T))
+
+            if "pointdsc" in methods:
+                if len(src) > 1000:
+                    sub = rng.choice(len(src), 1000, replace=False)
+                    s_p, t_p = src[sub], tgt[sub]
+                else:
+                    s_p, t_p = src, tgt
+                pose_dev = pd_model.register(s_p, t_p)
+                ours["pointdsc"].append(
+                    _gate(_device_icp(map_pts, map_feats, scan, pose_dev), T))
+                pose_ora = _oracle_pointdsc(pd_params, s_p.astype(np.float64), t_p.astype(np.float64))
+                oracle["pointdsc"].append(
+                    _gate(_icp_refine(map_pts, scan, pose_ora), T))
+
+            if "fpfh_mutual" in methods:
+                map_down, map_f, scan_down, scan_f = _fpfh_corrs(map_pts, scan)
+                i0, i1 = _device_mutual_nn(scan_f, map_f)
+                from vfmreg_tpu.registration.ransac import ransac_registration
+
+                n = len(i0)
+                pad_n = max(int(2 ** np.ceil(np.log2(max(n, 4)))), 4)
+                sp = np.pad(scan_down[i0], ((0, pad_n - n), (0, 0)))
+                tp = np.pad(map_down[i1], ((0, pad_n - n), (0, 0)))
+                mk = np.zeros(pad_n, bool)
+                mk[:n] = True
+                res = ransac_registration(
+                    jnp.asarray(sp), jnp.asarray(tp), jnp.asarray(mk),
+                    jax.random.PRNGKey(9), num_hypotheses=N_HYPOTHESES)
+                pose = res[0] if isinstance(res, tuple) else res
+                ours["fpfh_mutual"].append(
+                    _gate(_device_icp(map_pts, map_feats, scan,
+                                      np.asarray(pose, np.float64)), T))
+
+                j0, j1 = _oracle_mutual_nn(scan_f, map_f)
+                if len(j0) >= 3:
+                    pose_o = _kabsch_ransac(scan_down[j0], map_down[j1], rng)
+                    pose_o = _icp_refine(map_pts, scan, pose_o)
+                else:
+                    pose_o = np.eye(4)
+                oracle["fpfh_mutual"].append(_gate(pose_o, T))
+
+    return ours, oracle
+
+
+def _assert_parity(regime, ours, oracle):
+    for m in ours:
+        r_ours, r_ora = _recall(ours[m]), _recall(oracle[m])
+        assert r_ours >= r_ora - MAX_TOLERATED_LOSS, (
+            regime, m, r_ours, r_ora, ours[m], oracle[m])
+        # The regime must be solvable by the oracle (guards a vacuous test).
+        assert r_ora >= 0.7, (regime, m, oracle[m])
+
+
 @pytest.mark.parametrize("regime", ["outlier_heavy", "partial_overlap", "repetitive"])
-def test_recall_parity_vs_oracle(regime):
-    rng = np.random.RandomState(11)
-    n_cases = 4
-    ours, oracle = [], []
-    for _ in range(n_cases):
-        map_pts, map_feats, scan, scan_feats, T = _make_case(rng, regime)
+def test_recall_parity_vfm_row(regime):
+    ours, oracle = _run_regime(regime, ["vfm_ransac_icp"])
+    _assert_parity(regime, ours, oracle)
 
-        p_dev = _device_register(map_pts, map_feats, scan, scan_feats)
-        rte, rre = compute_errors(p_dev, T)
-        ours.append(rte < GATE_RTE and rre < GATE_RRE)
 
-        p_ora = _oracle_register(map_pts, map_feats, scan, scan_feats, rng)
-        rte, rre = compute_errors(p_ora, T)
-        oracle.append(rte < GATE_RTE and rre < GATE_RRE)
+def test_recall_parity_sparse_retry():
+    """The 5 m -> 1 m retry regime: every case forces the retry on both
+    pipelines (`registration_node.py:420-423`)."""
+    ours, oracle = _run_regime("sparse_retry", ["vfm_ransac_icp"])
+    _assert_parity("sparse_retry", ours, oracle)
 
-    ours_recall = np.mean(ours)
-    oracle_recall = np.mean(oracle)
-    # The device pipeline must not lose recall the trusted pipeline achieves.
-    assert ours_recall >= oracle_recall, (regime, ours, oracle)
-    # And the regime must actually be solvable (guards against a vacuous test).
-    assert oracle_recall >= 0.75, (regime, oracle)
+
+@pytest.mark.parametrize("regime", ["outlier_heavy", "partial_overlap", "repetitive"])
+def test_recall_parity_teaser_row(regime):
+    ours, oracle = _run_regime(regime, ["teaser_exact"])
+    _assert_parity(regime, ours, oracle)
+
+
+@pytest.mark.parametrize("regime", ["outlier_heavy", "partial_overlap", "repetitive"])
+def test_recall_parity_pointdsc_row(regime):
+    ours, oracle = _run_regime(regime, ["pointdsc"])
+    _assert_parity(regime, ours, oracle)
+
+
+@pytest.mark.parametrize("regime", ["outlier_heavy", "partial_overlap", "repetitive"])
+def test_recall_parity_fpfh_row(regime):
+    ours, oracle = _run_regime(regime, ["fpfh_mutual"])
+    _assert_parity(regime, ours, oracle)

@@ -131,3 +131,65 @@ def sharded_ransac(mesh: Mesh, num_hypotheses: int = 50000, chunk: int = 1024):
         return step(src, tgt, mask, keys)
 
     return jax.jit(run)
+
+
+# --------------------------------------------------------------------------
+# Batched building blocks for the evaluation driver (`make_step`): the per-scan
+# registrations of a scene run as ONE vmapped program per stage instead of the
+# reference's serial per-scan loop (`registration_node.py:587`). The map-side
+# arrays are shared across the batch (in_axes=None), so the map is resident
+# once; per-scan results are bit-identical to the serial calls (jax's while
+# batching rule masks per-lane carry updates, and the RANSAC sampler consumes
+# one per-scan key).
+
+
+@jax.jit
+def batched_vfm_correspondences(
+    map_pts, map_feats, map_valid, scan_pts, scan_feats, scan_mask
+):
+    """vmapped cosine 1-NN matching against one shared map.
+
+    scan_*: [B, N, ...]; returns the stacked VFMCorrespondences."""
+    fn = jax.vmap(
+        lambda sp, sf, sm: get_vfm_correspondences(
+            map_pts, map_feats, map_valid, sp, sf, sm
+        )
+    )
+    return fn(scan_pts, scan_feats, scan_mask)
+
+
+@jax.jit
+def batched_snap(corr_src, corr_tgt, corr_mask, scan_pts, scan_mask, map_pts, map_mask):
+    """vmapped snap filter (`registration_node.py:295-310`) over B scans
+    against one shared voxelized map."""
+    from vfmreg_tpu.registration.ransac import snap_correspondences
+
+    def one(src, tgt, m, sp, sm):
+        return snap_correspondences(src, tgt, m, sp, sm, map_pts, map_mask, tol=1e-3)
+
+    return jax.vmap(one)(corr_src, corr_tgt, corr_mask, scan_pts, scan_mask)
+
+
+@partial(jax.jit, static_argnames=("num_hypotheses",))
+def batched_ransac(src, tgt, mask, key_data, num_hypotheses: int = 50000):
+    """vmapped device RANSAC over B correspondence sets. key_data: [B] stacked
+    `jax.random.key_data` rows so each scan reproduces its serial
+    PRNGKey(scan_idx) stream exactly."""
+    from vfmreg_tpu.registration.ransac import ransac_registration
+
+    def one(s, t, m, kd):
+        res = ransac_registration(
+            s, t, m, jax.random.wrap_key_data(kd), num_hypotheses=num_hypotheses
+        )
+        return res.pose
+
+    return jax.vmap(one)(src, tgt, mask, key_data)
+
+
+@jax.jit
+def batched_icp(grid, points, mask, guesses, max_dist, kernel):
+    """vmapped `register_frame_icp` over B scans against one shared grid."""
+    from vfmreg_tpu.registration.icp import register_frame_icp
+
+    fn = jax.vmap(register_frame_icp, in_axes=(None, 0, 0, 0, None, None))
+    return fn(grid, points, mask, guesses, max_dist, kernel)
