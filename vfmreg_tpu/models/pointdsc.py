@@ -201,25 +201,28 @@ def pointdsc_forward(
     fitness = jnp.mean(inl.astype(jnp.float32), axis=-1)
     best = jnp.argmax(fitness)
     final_trans = seed_trans[best]
+    # Reference `final_labels` are the inliers of the best SEED transform,
+    # BEFORE post refinement (`cal_seed_trans`, `PointDSC.py:215-220`).
+    labels_pre = inl[best]
 
-    # ---- post refinement (`post_refinement`, `:444-480`) ----
-    def refine(_, T):
+    # ---- post refinement (`post_refinement`, `:444-480`): iterate weighted
+    # Procrustes on the current inliers, stopping (freezing) once the inlier
+    # COUNT stops changing, exactly like the reference's break. ----
+    def refine(_, carry):
+        T, prev_count = carry
         moved = src_keypts @ T[:3, :3].T + T[:3, 3]
         L2 = jnp.linalg.norm(moved - tgt_keypts, axis=-1)
         inlier = (L2 < inlier_threshold) & mask
+        count = jnp.sum(inlier)
         w = jnp.where(inlier, 1.0 / (1.0 + (L2 / inlier_threshold) ** 2), 0.0)
         T_new = weighted_kabsch(src_keypts, tgt_keypts, w)
-        # Keep the old transform if no inliers (degenerate).
-        ok = jnp.sum(inlier) >= 3
-        return jnp.where(ok, T_new, T)
+        do_update = (count != prev_count) & (count >= 3)
+        return jnp.where(do_update, T_new, T), count
 
-    final_trans = jax.lax.fori_loop(0, refine_iters, refine, final_trans)
-
-    labels = (
-        jnp.linalg.norm(src_keypts @ final_trans[:3, :3].T + final_trans[:3, 3] - tgt_keypts, axis=-1)
-        < inlier_threshold
+    final_trans, _ = jax.lax.fori_loop(
+        0, refine_iters, refine, (final_trans, jnp.int32(0))
     )
-    return {"final_trans": final_trans, "final_labels": labels & mask, "confidence": confidence}
+    return {"final_trans": final_trans, "final_labels": labels_pre, "confidence": confidence}
 
 
 def load_pointdsc_state_dict(state_dict: Dict[str, np.ndarray], num_layers=12) -> Dict[str, Any]:
