@@ -133,3 +133,40 @@ def test_fcgf_gcl_sparse_resunet_converter_parity():
                         jnp.ones((n,), bool), cfg)
     )
     np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_featup_jbu_stack_converter_parity():
+    """FeatUp learned JBU stack (the `use_featup=True` upsampler the reference
+    loads from torch.hub, `image_features.py:39-51`): torch oracle forward ==
+    JAX `jbu_stack_upsample` after `load_featup_state_dict` conversion
+    (VERDICT r2 item 7 — the last weight-bearing model path gets a numeric
+    parity oracle)."""
+    import jax.numpy as jnp
+
+    from tests.torch_oracles.featup_oracle import JBUStackOracle
+    from vfmreg_tpu.models.featup import jbu_stack_upsample, load_featup_state_dict
+
+    d = 16
+    model = JBUStackOracle(feat_dim=d)
+    randomize_module(model, seed=11)
+    with torch.no_grad():
+        for up in (model.up1, model.up2, model.up3, model.up4):
+            up.range_temp.fill_(0.3)
+            up.sigma_spatial.fill_(1.1)
+    model.eval()
+
+    g = torch.Generator().manual_seed(5)
+    src = torch.randn(1, d, 4, 5, generator=g)
+    guide = torch.rand(1, 3, 64, 80, generator=g)
+    with torch.no_grad():
+        want = model(src, guide)[0].permute(1, 2, 0).numpy()
+
+    sd = {k: v.numpy() for k, v in model.state_dict().items()}
+    params = load_featup_state_dict(sd)
+    got = jbu_stack_upsample(
+        params,
+        jnp.asarray(src[0].permute(1, 2, 0).numpy()),
+        jnp.asarray(guide[0].permute(1, 2, 0).numpy()),
+    )
+    assert got.shape == want.shape == (64, 80, d)
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-4)
