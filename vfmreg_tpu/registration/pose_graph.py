@@ -12,8 +12,17 @@ batched Gauss-Newton solver in JAX instead of wrapping GTSAM:
     solved with a damped Cholesky step;
   * `optimize()` runs a fixed GN iteration budget (batched, jit-compiled).
 
-The incremental-iSAM2 aspect is replaced by re-running the (fast, fully
-batched) solver on loop closures — same output, simpler state.
+`IncrementalPoseGraph` adds the reference's iSAM2 BEHAVIOR on top of the same
+solver: the exact `PoseGraphOptimizationGtsam` API surface (chained
+`add_odom_edge` initial estimates, `add_loop_edge`, `optimize_if_needed`'s
+optimize-on-first-loop / min-factors policy, `pose_at(-1)`, fall back to the
+initial estimate for never-optimized vertices), warm-started from the current
+estimate, and solving only the ACTIVE WINDOW each update — every vertex
+downstream of the earliest endpoint touched by new factors (the sub-graph a
+new measurement can influence in a chain+loops topology), with upstream
+vertices frozen as gauge. That bounds per-update work the way iSAM2's Bayes
+tree does, without porting its factorization machinery to a TPU runtime where
+the few-hundred-node dense GN solve is microseconds anyway.
 """
 
 from __future__ import annotations
@@ -45,7 +54,11 @@ class Factor(NamedTuple):
 
 @partial(jax.jit, static_argnames=("num_iters",))
 @full_precision
-def _optimize(poses, fi, fj, meas, weights, num_iters: int = 20, damping: float = 1e-6):
+def _optimize(
+    poses, fi, fj, meas, weights, active=None, num_iters: int = 20, damping: float = 1e-6
+):
+    """`active`: optional [N] bool — variables outside the active window are
+    frozen (gauge) via a huge diagonal penalty, the incremental-update mode."""
     n = poses.shape[0]
 
     def residual_between(T_i, T_j, Z):
@@ -118,7 +131,11 @@ def _optimize(poses, fi, fj, meas, weights, num_iters: int = 20, damping: float 
             0, fi.shape[0], lambda f, Hb: scatter_block(Hb[0], Hb[1], f), (H, b)
         )
 
-        dx = jnp.linalg.solve(H + damping * jnp.eye(6 * n), -b).reshape(n, 6)
+        if active is None:
+            diag_pen = jnp.full((6 * n,), damping)
+        else:
+            diag_pen = jnp.where(jnp.repeat(active, 6), damping, 1e12)
+        dx = jnp.linalg.solve(H + jnp.diag(diag_pen), -b).reshape(n, 6)
         new_poses = jax.vmap(lambda d, T: exp_se3(d) @ T)(dx, poses)
         return new_poses, jnp.linalg.norm(dx)
 
@@ -161,3 +178,131 @@ class PoseGraphOptimizer:
 
     def get_poses(self) -> List[np.ndarray]:
         return list(self.initial)
+
+
+class IncrementalPoseGraph:
+    """API mirror of the reference `PoseGraphOptimizationGtsam`
+    (`vfm_reg/pose_graph_optimization.py:10-115`): optimize-on-loop iSAM2
+    behavior on the batched GN solver, warm-started and active-window-bounded.
+    """
+
+    def __init__(self, min_factors: int = 1):
+        self.min_factors = min_factors
+        self.vertex_ids: List[int] = []
+        self.edges: List[tuple] = []
+        self._initial: dict = {}  # vertex id -> [4, 4] initial estimate
+        self._current: dict = {}  # vertex id -> [4, 4] optimized estimate
+        self._factors: List[Factor] = []
+        self._n_new_factors = 0
+        self._new_min_vertex: int = None  # earliest vertex touched since last solve
+        self.new_loops_count = 0
+
+    # ------------------------------------------------------------- accessors
+    def __len__(self) -> int:
+        return self.size()
+
+    def size(self) -> int:
+        return len(self.vertex_ids)
+
+    @property
+    def poses(self) -> List[np.ndarray]:
+        return [self.pose_at(i) for i in self.vertex_ids]
+
+    def pose_at(self, vertex_id: int) -> np.ndarray:
+        if vertex_id == -1:  # last vertex, like the reference
+            vertex_id = self.vertex_ids[-1]
+        if vertex_id in self._current:
+            return self._current[vertex_id]
+        # never optimized yet -> initial estimate (`pose_at`, `:48-57`)
+        return self._initial[vertex_id]
+
+    # --------------------------------------------------------------- factors
+    def _touch(self, *vertex_ids):
+        lo = min(vertex_ids)
+        if self._new_min_vertex is None or lo < self._new_min_vertex:
+            self._new_min_vertex = lo
+
+    def add_prior_factor_pose(self, vertex_id: int, pose: np.ndarray,
+                              sigmas=PRIOR_SIGMAS):
+        pose = np.asarray(pose, dtype=np.float64)
+        self._factors.append(Factor(vertex_id, -1, pose, np.asarray(sigmas)))
+        self._initial[vertex_id] = pose
+        self.vertex_ids.append(vertex_id)
+        self._n_new_factors += 1
+        self._touch(vertex_id)
+
+    def add_odom_edge(self, vertex_id: int, measurement: np.ndarray,
+                      sigma=ODOM_SIGMAS):
+        """Chains from the LAST vertex; the new vertex's initial estimate is
+        previous_pose @ measurement (`add_odom_edge`, `:100-108`)."""
+        prev = self.vertex_ids[-1]
+        measurement = np.asarray(measurement, dtype=np.float64)
+        sig = np.full(6, sigma) if np.isscalar(sigma) else np.asarray(sigma)
+        self._factors.append(Factor(prev, vertex_id, measurement, sig))
+        self._initial[vertex_id] = self.pose_at(prev) @ measurement
+        self.vertex_ids.append(vertex_id)
+        self.edges.append((prev, vertex_id))
+        self._n_new_factors += 1
+        self._touch(prev, vertex_id)
+
+    def add_loop_edge(self, vertex_id1: int, vertex_id2: int,
+                      measurement: np.ndarray, sigma=LOOP_SIGMAS):
+        measurement = np.asarray(measurement, dtype=np.float64)
+        sig = np.full(6, sigma) if np.isscalar(sigma) else np.asarray(sigma)
+        self._factors.append(Factor(vertex_id1, vertex_id2, measurement, sig))
+        self.edges.append((vertex_id1, vertex_id2))
+        self._n_new_factors += 1
+        self.new_loops_count += 1
+        self._touch(vertex_id1, vertex_id2)
+
+    # ---------------------------------------------------------- optimization
+    def optimize_if_needed(self) -> bool:
+        """The reference policy (`optimize_if_needed`, `:59-72`): optimize
+        immediately on a new loop, else batch when enough factors queued."""
+        if self.new_loops_count == 1:
+            self.optimize()
+            return True
+        if self._n_new_factors >= self.min_factors:
+            self.optimize()
+            self.new_loops_count = 0
+            return True
+        return False
+
+    def optimize(self, num_iters: int = 20) -> None:
+        order = {v: k for k, v in enumerate(self.vertex_ids)}
+        poses0 = np.stack([self.pose_at(v) for v in self.vertex_ids])
+
+        # Active window: everything downstream of the earliest vertex a new
+        # factor touches (the sub-graph new information can influence in a
+        # chain+loops topology); upstream stays frozen as gauge. First solve
+        # (or an all-vertices touch) is a full batch — exactly iSAM2's
+        # full-relinearization bootstrap.
+        if self._new_min_vertex is None:
+            active = np.ones(len(self.vertex_ids), dtype=bool)
+        else:
+            lo = order[self._new_min_vertex]
+            active = np.arange(len(self.vertex_ids)) >= lo
+            if not self._current:
+                active[:] = True
+        if active.all():
+            active_arg = None
+        else:
+            active_arg = jnp.asarray(active)
+
+        fi = jnp.asarray([order[f.i] for f in self._factors], dtype=jnp.int32)
+        fj = jnp.asarray(
+            [order[f.j] if f.j >= 0 else -1 for f in self._factors], dtype=jnp.int32
+        )
+        meas = jnp.asarray(np.stack([f.measurement for f in self._factors]), jnp.float32)
+        weights = jnp.asarray(
+            np.stack([1.0 / np.square(f.sigmas) for f in self._factors]), jnp.float32
+        )
+        out = _optimize(
+            jnp.asarray(poses0, jnp.float32), fi, fj, meas, weights,
+            active=active_arg, num_iters=num_iters,
+        )
+        out = np.asarray(out, dtype=np.float64)
+        for k, v in enumerate(self.vertex_ids):
+            self._current[v] = out[k]
+        self._n_new_factors = 0
+        self._new_min_vertex = None

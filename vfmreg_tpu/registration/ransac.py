@@ -30,7 +30,7 @@ import jax.numpy as jnp
 
 from vfmreg_tpu.utils.precision import full_precision
 
-from vfmreg_tpu.registration.procrustes import kabsch
+from vfmreg_tpu.registration.procrustes import kabsch_horn as kabsch
 
 
 class RansacResult(NamedTuple):
