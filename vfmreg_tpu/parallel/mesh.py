@@ -170,20 +170,12 @@ def batched_snap(corr_src, corr_tgt, corr_mask, scan_pts, scan_mask, map_pts, ma
     return jax.vmap(one)(corr_src, corr_tgt, corr_mask, scan_pts, scan_mask)
 
 
-@partial(jax.jit, static_argnames=("num_hypotheses",))
-def batched_ransac(src, tgt, mask, key_data, num_hypotheses: int = 50000):
-    """vmapped device RANSAC over B correspondence sets. key_data: [B] stacked
-    `jax.random.key_data` rows so each scan reproduces its serial
-    PRNGKey(scan_idx) stream exactly."""
-    from vfmreg_tpu.registration.ransac import ransac_registration
-
-    def one(s, t, m, kd):
-        res = ransac_registration(
-            s, t, m, jax.random.wrap_key_data(kd), num_hypotheses=num_hypotheses
-        )
-        return res.pose
-
-    return jax.vmap(one)(src, tgt, mask, key_data)
+# NOTE deliberately absent: a vmapped multi-scan RANSAC. XLA lays out the
+# vmapped hypothesis-chunk scan poorly (measured 0.32 s for B=4 x 50k
+# hypotheses on TPU vs 4 x 2 ms as separate dispatches of the single compiled
+# program), so the driver loops the single `ransac_registration` per scan —
+# and shards the hypothesis budget over the mesh (`sharded_ransac`) when more
+# than one device is present.
 
 
 @jax.jit

@@ -575,7 +575,6 @@ class RegistrationNode:
         (`:587`). `tests/test_harness.py` pins batched == serial."""
         from vfmreg_tpu.parallel.mesh import (
             batched_icp,
-            batched_ransac,
             batched_snap,
             batched_vfm_correspondences,
         )
@@ -664,13 +663,20 @@ class RegistrationNode:
                 for j in range(b)
             ])
         else:
-            keys = np.stack(
-                [np.asarray(jax.random.key_data(jax.random.PRNGKey(j))) for j in range(b)]
-            )
-            ransac_poses = batched_ransac(
-                snap_src, snap_tgt, snap_mask,
-                jnp.asarray(keys), num_hypotheses=RANSAC_HYPOTHESES,
-            )
+            # Per-scan dispatches of the single compiled RANSAC program: the
+            # vmapped variant lays out the chunk scan poorly (measured 0.32 s
+            # vs 4 x 2 ms for B=4 x 50k hypotheses on TPU), and per-lane
+            # results here are bit-identical to the serial loop by
+            # construction (same program, same PRNGKey(scan_idx)).
+            ransac_poses = np.stack([
+                np.asarray(
+                    _device_ransac(
+                        snap_src[j], snap_tgt[j], snap_mask[j],
+                        jax.random.PRNGKey(j), num_hypotheses=RANSAC_HYPOTHESES,
+                    ).pose
+                )
+                for j in range(b)
+            ])
         ransac_raw = np.asarray(ransac_poses, dtype=np.float64)
         ransac_ortho = ransac_raw.copy()
         for j in range(b):
