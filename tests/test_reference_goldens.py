@@ -93,3 +93,35 @@ def test_dip_network_matches_reference_module():
     patches = np.transpose(g["patches"], (0, 2, 1))  # ours takes [B, N, 3]
     out = dip_forward(params, jnp.asarray(patches))
     np.testing.assert_allclose(np.asarray(out), g["descriptors"], atol=1e-4)
+
+
+def test_spinnet_trunk_matches_reference_module():
+    """SpinNet learned trunk (xyz_raising + Cylindrical_Net with its
+    cylindrical pad semantics) at the reference production dims
+    (`descriptors.py:187`: rad 9 / ele 30 / azi 60) against the reference
+    `spinnet/model.py:61-72` + `ThreeDCCN.py` modules, plus the pure-torch
+    geometric helpers `var_to_invar` (`common.py:522-548`) and
+    `get_voxel_coordinate` (`common.py:415-421`)."""
+    from vfmreg_tpu.models.spinnet import (
+        get_voxel_coordinate,
+        load_spinnet_state_dict,
+        spinnet_trunk,
+        var_to_invar,
+    )
+
+    sd, g = _load("spinnet_reference_golden.npz")
+    params = load_spinnet_state_dict(sd, dim=32)
+
+    rad_n, azi_n, ele_n = 9, 60, 30
+    rel = np.transpose(g["new_points"], (0, 2, 3, 1))  # [B, N, k, 3]
+    got = np.asarray(spinnet_trunk(params, jnp.asarray(rel), rad_n, azi_n, ele_n))
+    np.testing.assert_allclose(got, g["trunk_out"], atol=2e-4)
+
+    got_v = np.asarray(var_to_invar(jnp.asarray(g["vpts"]), rad_n, azi_n, ele_n))
+    np.testing.assert_allclose(got_v, g["var_to_invar_out"], atol=1e-5)
+
+    # the reference returns [rad, ele*azi, 3]; ours is pre-flattened
+    np.testing.assert_allclose(
+        get_voxel_coordinate(2.0, rad_n, azi_n, ele_n), g["grid"].reshape(-1, 3),
+        atol=1e-9,
+    )

@@ -8,9 +8,11 @@ activations saved as .npz. `tests/test_reference_goldens.py` then asserts our
 converters + JAX forwards reproduce these fixtures, which retires the
 "oracle mis-models the reference" risk entirely for the models that can run
 here (PointDSC end-to-end inference incl. seeds/power-iteration/refinement,
-and the DIP PointNetFeature descriptor net). GeDi/SpinNet/FCGF/GCL need
-pointnet2_ops-CUDA / MinkowskiEngine and cannot execute in this image; their
-parity remains pinned by the reconstructed oracles in this directory.
+the DIP PointNetFeature descriptor net, and the SpinNet learned trunk +
+`var_to_invar`/`get_voxel_coordinate` — its CUDA deps are import-time only
+and are stubbed out). GeDi/FCGF/GCL need pointnet2_ops-CUDA forward kernels /
+MinkowskiEngine and cannot execute in this image; their parity remains pinned
+by the reconstructed oracles in this directory.
 
 Run manually (requires /root/reference):
     python tests/torch_oracles/gen_reference_goldens.py
@@ -120,7 +122,69 @@ def gen_dip():
     print("dip golden:", out.numpy()[0, :4])
 
 
+def gen_spinnet():
+    """SpinNet learned trunk (`model.py:61-72` + `ThreeDCCN.py:23-97`) at the
+    reference's production dims (rad 9 / ele 30 / azi 60, `descriptors.py:187`),
+    plus the pure-torch geometric helpers `var_to_invar` and
+    `get_voxel_coordinate`. The CUDA-only pieces (sphere_query via
+    pointnet2_ops, the hardcoded `.cuda()` at `model.py:51`) are never called:
+    open3d/pointnet2_ops are stubbed at import and the trunk is driven from a
+    synthetic grouped-sample tensor exactly as `forward` lines 61-72 do."""
+    import types
+
+    import torch
+    import torch.nn.functional as F
+
+    for name in ("open3d", "pointnet2_ops", "pointnet2_ops.pointnet2_utils"):
+        if name not in sys.modules:
+            sys.modules[name] = types.ModuleType(name)
+    sys.modules["pointnet2_ops"].pointnet2_utils = sys.modules["pointnet2_ops.pointnet2_utils"]
+
+    sys.path.insert(0, str(REFERENCE_SRC))
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    import spinnet.common as cm
+    from spinnet.model import Descriptor_Net
+    from torch_oracles import randomize_module
+
+    rad_n, azi_n, ele_n = 9, 60, 30
+    nsample = 8
+    model = Descriptor_Net(2.0, rad_n, azi_n, ele_n, 0.3, 30, "KITTI")
+    randomize_module(model, seed=11)
+
+    rng = np.random.RandomState(7)
+    B, npoint = 2, rad_n * ele_n * azi_n
+    new_points = rng.normal(0, 0.15, (B, 3, npoint, nsample)).astype(np.float32)
+
+    with torch.no_grad():
+        x = torch.from_numpy(new_points)
+        x = model.activation(model.bn_xyz_raising(model.xyz_raising(x)))
+        x = F.max_pool2d(x, kernel_size=(1, nsample)).squeeze(3)
+        x = x.view(x.shape[0], x.shape[1], rad_n, ele_n, azi_n)
+        x = model.conv_net(x)
+        trunk_out = F.max_pool2d(x, kernel_size=(x.shape[2], x.shape[3]))
+        trunk_out = trunk_out.squeeze(-1).squeeze(-1).numpy()  # [B, 32]
+
+        vpts = rng.normal(0, 0.2, (1, npoint, 4, 3)).astype(np.float32)
+        v2i = cm.var_to_invar(torch.from_numpy(vpts), rad_n, azi_n, ele_n).numpy()
+
+    grid = np.asarray(cm.get_voxel_coordinate(2.0, rad_n, azi_n, ele_n), np.float64)
+
+    arrays = {
+        "new_points": new_points,
+        "trunk_out": trunk_out,
+        "vpts": vpts,
+        "var_to_invar_out": v2i,
+        "grid": grid,
+    }
+    for k, v in model.state_dict().items():
+        arrays[f"sd::{k}"] = v.numpy()
+    OUT_DIR.mkdir(exist_ok=True)
+    np.savez_compressed(OUT_DIR / "spinnet_reference_golden.npz", **arrays)
+    print("spinnet golden:", trunk_out[0, :4])
+
+
 if __name__ == "__main__":
     assert REFERENCE_SRC.exists(), "reference repo not found"
     gen_pointdsc()
     gen_dip()
+    gen_spinnet()
