@@ -183,8 +183,129 @@ def gen_spinnet():
     print("spinnet golden:", trunk_out[0, :4])
 
 
+def gen_gedi():
+    """GeDi PointNet2Feature (`gedi/gedi.py:12-129`) run as the reference's
+    actual torch modules: the qnet quaternion canonicalizer (with a shim for
+    the hardcoded `device='cuda'` constants at `gedi.py:35,63`) and the three
+    PointnetSAModules + fc head (the reference's own
+    `pointnet2_modules.py` / `pointnet2_utils.py` Python code, with the
+    `_ext` CUDA kernels replaced by line-for-line CPU transcriptions of
+    `sampling_gpu.cu` (incl. the mag<=1e-3 candidate skip),
+    `ball_query_gpu.cu` (first-hit slot fill, strict d2<r2), and
+    `group_points_gpu.cu`). torchgeometry is unavailable; its
+    quaternion_to_angle_axis -> angle_axis_to_rotation_matrix composition is
+    the standard (w,x,y,z) unit-quaternion rotation matrix, applied directly
+    (the captured `quat` output pins the learned part either way)."""
+    import types
+
+    import torch
+    import torch.nn.functional as F
+
+    # Drop any earlier pointnet2_ops stubs (gen_spinnet) so the REAL package
+    # imports from the reference tree.
+    for name in [n for n in list(sys.modules) if n.startswith("pointnet2_ops")]:
+        del sys.modules[name]
+
+    ext = types.ModuleType("pointnet2_ops._ext")
+
+    def _fps(xyz, npoint):
+        pts = xyz.numpy().astype(np.float32)
+        B, N, _ = pts.shape
+        out = np.zeros((B, npoint), np.int32)
+        for b in range(B):
+            p = pts[b]
+            ok = (p * p).sum(-1) > 1e-3  # sampling_gpu.cu:100
+            temp = np.full(N, 1e10, np.float32)
+            old = 0
+            for j in range(1, npoint):
+                d = ((p - p[old]) ** 2).sum(-1).astype(np.float32)
+                temp = np.minimum(temp, d)
+                old = int(np.argmax(np.where(ok, temp, -np.inf)))
+                out[b, j] = old
+        return torch.from_numpy(out)
+
+    def _gather(features, idx):
+        f = features.numpy()
+        i = idx.numpy().astype(np.int64)
+        return torch.from_numpy(np.stack([f[b][:, i[b]] for b in range(len(f))]))
+
+    def _ball_query(new_xyz, xyz, radius, nsample):
+        nq = new_xyz.numpy().astype(np.float32)
+        p = xyz.numpy().astype(np.float32)
+        B, M, _ = nq.shape
+        out = np.zeros((B, M, nsample), np.int32)
+        r2 = np.float32(radius * radius)
+        for b in range(B):
+            d2 = ((nq[b][:, None] - p[b][None]) ** 2).sum(-1)
+            for j in range(M):
+                hits = np.flatnonzero(d2[j] < r2)[:nsample]
+                if len(hits):
+                    row = np.full(nsample, hits[0], np.int32)
+                    row[: len(hits)] = hits
+                    out[b, j] = row
+        return torch.from_numpy(out)
+
+    ext.furthest_point_sampling = _fps
+    ext.gather_points = _gather
+    ext.ball_query = _ball_query
+    ext.group_points = _gather  # same gather, idx is (B, M, S)
+    sys.modules["pointnet2_ops._ext"] = ext
+
+    for name in ("open3d", "open3d.ml", "open3d.ml.torch", "torchgeometry"):
+        if name not in sys.modules:
+            sys.modules[name] = types.ModuleType(name)
+    sys.modules["open3d"].ml = sys.modules["open3d.ml"]
+    sys.modules["open3d.ml"].torch = sys.modules["open3d.ml.torch"]
+
+    sys.path.insert(0, str(REFERENCE_SRC))
+    sys.path.insert(0, str(REFERENCE_SRC / "gedi" / "backbones" / "pointnet2_ops_lib"))
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    from gedi.gedi import PointNet2Feature
+    from torch_oracles import randomize_module
+
+    model = PointNet2Feature(dim=32)
+    randomize_module(model, seed=17)
+
+    _eye, _tensor = torch.eye, torch.tensor
+    torch.eye = lambda *a, device=None, **kw: _eye(*a, **kw)
+    torch.tensor = lambda data, *a, device=None, **kw: _tensor(data, *a, **kw)
+    try:
+        rng = np.random.RandomState(9)
+        patches = (rng.normal(size=(2, 3, 256)) * 0.5).astype(np.float32)
+        with torch.no_grad():
+            pc = torch.from_numpy(patches)
+            quat = model.qnet(pc).numpy()  # (B, 4), (w, x, y, z)
+            w, x, y, z = quat[:, 0], quat[:, 1], quat[:, 2], quat[:, 3]
+            R = np.stack(
+                [
+                    np.stack([1 - 2 * (y**2 + z**2), 2 * (x * y - w * z), 2 * (x * z + w * y)], -1),
+                    np.stack([2 * (x * y + w * z), 1 - 2 * (x**2 + z**2), 2 * (y * z - w * x)], -1),
+                    np.stack([2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x**2 + y**2)], -1),
+                ],
+                axis=1,
+            )
+            pc_rot = torch.from_numpy(
+                np.einsum("bij,bjn->bin", R, patches).astype(np.float32)
+            )
+            xyz = pc_rot.transpose(1, 2).contiguous()
+            xyz, feats = model.samodule1(xyz, None)
+            xyz, feats = model.samodule2(xyz, feats)
+            _, feats = model.samodule3(xyz, feats)
+            out = F.normalize(model.fc_layer(feats.squeeze(-1)), p=2, dim=1).numpy()
+    finally:
+        torch.eye, torch.tensor = _eye, _tensor
+
+    arrays = {"patches": patches, "quat": quat, "rot": R, "descriptors": out}
+    for k, v in model.state_dict().items():
+        arrays[f"sd::{k}"] = v.numpy()
+    OUT_DIR.mkdir(exist_ok=True)
+    np.savez_compressed(OUT_DIR / "gedi_reference_golden.npz", **arrays)
+    print("gedi golden:", out[0, :4])
+
+
 if __name__ == "__main__":
     assert REFERENCE_SRC.exists(), "reference repo not found"
     gen_pointdsc()
     gen_dip()
     gen_spinnet()
+    gen_gedi()
