@@ -303,9 +303,65 @@ def gen_gedi():
     print("gedi golden:", out[0, :4])
 
 
+def gen_fcgf_gcl():
+    """FCGF ResUNetBN2C (`fcgf/fcgf.py:798-805`) and GCL ResUNetFatBN
+    (`gcl/model/resunet.py:271-274`) run as the reference's OWN Python module
+    code at the production configs (`vfm_reg/descriptors.py:89,154-160`:
+    in=1/out=32, conv1 kernel 7 resp. 5, normalize_feature=True), with
+    MinkowskiEngine replaced by `me_stub` — a minimal stand-in whose sparse
+    convs are transcribed from the ME v0.5 sources. This pins the reference's
+    NETWORK WIRING (layer order, skip cats, relu placement, final normalize)
+    from the real source; the kernel semantics remain the transcription that
+    `me_resunet_oracle.py` documents."""
+    import types
+
+    import torch
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    from torch_oracles import me_stub, randomize_module
+
+    me_stub.install(sys.modules)
+    sys.path.insert(0, str(REFERENCE_SRC))
+    from fcgf.fcgf import ResUNetBN2C
+
+    # `gcl.model.__init__` imports the whole zoo; load resunet through a
+    # namespace-style fake `model` package instead so only the needed modules
+    # execute.
+    if "model" not in sys.modules:
+        pkg = types.ModuleType("model")
+        pkg.__path__ = [str(REFERENCE_SRC / "gcl" / "model")]
+        sys.modules["model"] = pkg
+    from model.resunet import ResUNetFatBN
+
+    rng = np.random.RandomState(8)
+    coords = np.unique(rng.randint(-8, 9, size=(220, 3)).astype(np.int32), axis=0)
+    n = coords.shape[0]
+    feats = rng.normal(size=(n, 1)).astype(np.float32)
+
+    specs = [
+        ("fcgf", ResUNetBN2C, dict(bn_momentum=0.05, conv1_kernel_size=7,
+                                   normalize_feature=True), 21),
+        ("gcl", ResUNetFatBN, dict(bn_momentum=0.05, conv1_kernel_size=5,
+                                   normalize_feature=True), 23),
+    ]
+    for name, cls, kw, seed in specs:
+        model = cls(1, 32, D=3, **kw)
+        randomize_module(model, seed=seed)
+        x = me_stub.SparseTensor(torch.from_numpy(feats), coordinates=coords)
+        with torch.no_grad():
+            out = model(x).F.numpy()
+        arrays = {"coords": coords, "feats": feats, "descriptors": out}
+        for k, v in model.state_dict().items():
+            arrays[f"sd::{k}"] = v.numpy()
+        OUT_DIR.mkdir(exist_ok=True)
+        np.savez_compressed(OUT_DIR / f"{name}_reference_golden.npz", **arrays)
+        print(f"{name} golden:", out[0, :4])
+
+
 if __name__ == "__main__":
     assert REFERENCE_SRC.exists(), "reference repo not found"
     gen_pointdsc()
     gen_dip()
     gen_spinnet()
     gen_gedi()
+    gen_fcgf_gcl()
