@@ -72,20 +72,24 @@ def _world_repetitive(rng, n=5000, cell=12.0, extent=48.0):
     return pts.astype(np.float32), feats.astype(np.float32)
 
 
-def _world_structured(rng, n=4096):
-    """Surface-rich world (wavy ground + walls) for the geometry-only FPFH
-    row: normals/curvature histograms are uninformative on uniform random
-    scatter, so the descriptor regimes above (which corrupt LEARNED
-    descriptors) are replaced by full/partial-overlap variants of a scene
-    where FPFH actually carries signal."""
-    ground_n = n // 2
+def _world_structured(rng, n=6144):
+    """Surface-rich world (wavy sloped ground + 24 varied walls) for the
+    geometry-only FPFH row: normals/curvature histograms are uninformative on
+    uniform random scatter, so the descriptor regimes above (which corrupt
+    LEARNED descriptors) are replaced by full/partial-overlap variants of a
+    scene where FPFH actually carries signal. Wall-dominated on purpose —
+    smooth ground FPFH is globally ambiguous (the descriptor's intrinsic
+    weakness the reference paper documents)."""
+    ground_n = n // 3
     xy = rng.uniform(-30, 30, (ground_n, 2))
-    ground = np.c_[xy, 0.5 * np.sin(xy[:, 0] / 7.0) + 0.3 * np.cos(xy[:, 1] / 5.0)]
+    ground = np.c_[
+        xy, 0.4 * np.sin(xy[:, 0] / 6.3) + 0.3 * np.cos(xy[:, 1] / 4.1) + 0.02 * xy[:, 0]
+    ]
     walls = []
-    m = n // 24
-    for _ in range(12):
-        cx, cy = rng.uniform(-25, 25, 2)
-        w_, h_ = rng.uniform(3, 8), rng.uniform(2, 4)
+    m = (n - ground_n) // 24
+    for _ in range(24):
+        cx, cy = rng.uniform(-26, 26, 2)
+        w_, h_ = rng.uniform(2, 9), rng.uniform(1.5, 5)
         theta = rng.uniform(0, np.pi)
         s = rng.uniform(-w_ / 2, w_ / 2, m)
         z = rng.uniform(0, h_, m)
@@ -97,19 +101,19 @@ def _world_structured(rng, n=4096):
 
 
 def _make_structured_case(rng, regime):
-    """(map, scan, T) for the fpfh row; fixed scan size keeps jit buckets
-    stable across cases."""
+    """(map, scan, T) for the fpfh row. The scan keeps the MAP's point
+    density (all window points, no subsample): FPFH histograms are
+    neighborhood-density-sensitive, so a half-density scan would make the
+    descriptor spaces incomparable and both pipelines fail alike."""
     pts = _world_structured(rng)
     T = np.eye(4, dtype=np.float32)
-    T[:3, :3] = Rotation.from_euler("z", rng.uniform(-25, 25), degrees=True).as_matrix()
-    T[:3, 3] = [rng.uniform(-5, 5), rng.uniform(-5, 5), rng.uniform(-0.2, 0.2)]
+    T[:3, :3] = Rotation.from_euler("z", rng.uniform(-15, 15), degrees=True).as_matrix()
+    T[:3, 3] = [rng.uniform(-3, 3), rng.uniform(-3, 3), rng.uniform(-0.2, 0.2)]
     if regime == "structured_partial":
-        win = pts[:, 0] < 10.0  # scan sees ~2/3 of the map's extent
+        win = pts[:, 0] < 8.0  # scan sees ~63% of the map's extent
     else:
-        win = np.ones(len(pts), bool)
-    cand = np.flatnonzero(win)
-    sel = rng.choice(cand, 2048, replace=len(cand) < 2048)
-    scan = (pts[sel] - T[:3, 3]) @ np.linalg.inv(T[:3, :3]).T
+        win = np.abs(pts[:, 0]) < 22.0
+    scan = (pts[win] - T[:3, 3]) @ np.linalg.inv(T[:3, :3]).T
     scan = (scan + rng.normal(0, 0.02, scan.shape)).astype(np.float32)
     return pts, scan, T
 
@@ -602,10 +606,12 @@ def _run_regime(regime, methods):
 
 def _run_fpfh_regime(regime):
     """The fpfh/mutual-NN row on the structured worlds (shared descriptors;
-    device mutual-NN + RANSAC + ICP vs scipy mutual-NN + numpy RANSAC + ICP)."""
+    device mutual-NN + RANSAC + ICP vs scipy mutual-NN + numpy RANSAC + ICP).
+    Also measures matcher-level agreement: the fraction of oracle mutual-NN
+    pairs the device matcher reproduces exactly."""
     from vfmreg_tpu.registration.ransac import ransac_registration
 
-    ours, oracle = [], []
+    ours, oracle, matcher_agreement = [], [], []
     for seed in SEEDS:
         rng = np.random.RandomState(seed)
         for _ in range(N_CASES):
@@ -627,13 +633,18 @@ def _run_fpfh_regime(regime):
                 _gate(_device_icp(map_pts, None, scan, np.asarray(pose, np.float64)), T))
 
             j0, j1 = _oracle_mutual_nn(scan_f, map_f)
+            dev_pairs = set(zip(i0.tolist(), i1.tolist()))
+            ora_pairs = set(zip(j0.tolist(), j1.tolist()))
+            matcher_agreement.append(
+                len(dev_pairs & ora_pairs) / max(len(ora_pairs), 1)
+            )
             if len(j0) >= 3:
                 pose_o = _kabsch_ransac(scan_down[j0], map_down[j1], rng)
                 pose_o = _icp_refine(map_pts, scan, pose_o)
             else:
                 pose_o = np.eye(4)
             oracle.append(_gate(pose_o, T))
-    return {"fpfh_mutual": ours}, {"fpfh_mutual": oracle}
+    return {"fpfh_mutual": ours}, {"fpfh_mutual": oracle}, matcher_agreement
 
 
 def _assert_parity(regime, ours, oracle):
@@ -674,6 +685,16 @@ def test_recall_parity_pointdsc_row(regime):
 def test_recall_parity_fpfh_row(regime):
     """FPFH is geometry-only, so its adversarial regimes are scene-level
     (full/partial overlap of a surface-rich world) rather than the
-    learned-descriptor corruptions above."""
-    ours, oracle = _run_fpfh_regime(regime)
-    _assert_parity(regime, ours, oracle)
+    learned-descriptor corruptions above. The partial regime defeats the
+    reference's own objective (min RMSE over ALL correspondences with a
+    mostly-wrong FPFH mutual-NN set — the documented FPFH weakness the paper
+    improves on), so the non-vacuous pin there is matcher-level: the device
+    mutual-NN must reproduce >=95% of the scipy oracle's correspondence
+    pairs, plus recall parity on the shared failures."""
+    ours, oracle, agreement = _run_fpfh_regime(regime)
+    for m in ours:
+        r_ours, r_ora = _recall(ours[m]), _recall(oracle[m])
+        assert r_ours >= r_ora - MAX_TOLERATED_LOSS, (regime, m, r_ours, r_ora)
+    assert np.mean(agreement) >= 0.95, (regime, np.mean(agreement))
+    if regime == "structured":
+        assert _recall(oracle["fpfh_mutual"]) >= 0.6, oracle
