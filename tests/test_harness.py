@@ -81,10 +81,15 @@ def test_registration_node_end_to_end(scene_h5, capsys):
 
 @pytest.mark.slow
 def test_batched_driver_matches_serial(scene_h5):
-    """The vmapped per-scene path (`_precompute_scene_batched`) is
-    BIT-IDENTICAL to the serial per-scan loop: same voxelizations, same
-    per-scan PRNG streams, jax's while-loop batching masks per-lane carries
-    (VERDICT r2 item 3)."""
+    """The vmapped per-scene path (`_precompute_scene_batched`) matches the
+    serial per-scan loop: same voxelizations, same per-scan PRNG streams,
+    jax's while-loop batching masks per-lane carries (VERDICT r2 item 3).
+
+    GT / vanilla-ICP rows are bit-identical. The vfm RANSAC rows go through
+    `parallel.mesh.batched_ransac` (vmapped lanes of the same program), whose
+    poses agree with the serial dispatches to f32 roundoff (<=1e-7); after the
+    ICP refinement (GN exit at |dx| < 1e-4) the error values may differ at the
+    solver-tolerance level, far below the 0.3 m / 0.6 m recall gates."""
     results = {}
     for batch in (True, False):
         node = RegistrationNode(
@@ -97,12 +102,13 @@ def test_batched_driver_matches_serial(scene_h5):
         node.make_step()
         results[batch] = (node.trans_errors, node.rot_errors)
     for method in results[True][0]:
-        np.testing.assert_array_equal(
-            results[True][0][method], results[False][0][method], err_msg=method
-        )
-        np.testing.assert_array_equal(
-            results[True][1][method], results[False][1][method], err_msg=method
-        )
+        for kind in (0, 1):
+            a = results[True][kind][method]
+            b = results[False][kind][method]
+            if "ransac" in method:
+                np.testing.assert_allclose(a, b, atol=2e-3, err_msg=method)
+            else:
+                np.testing.assert_array_equal(a, b, err_msg=method)
 
 
 def test_error_dump_and_print(scene_h5, tmp_path):

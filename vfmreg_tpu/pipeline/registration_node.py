@@ -572,9 +572,19 @@ class RegistrationNode:
         per-scan PRNGKey(scan_idx) RANSAC stream, the 5 m -> 1 m retry
         (`registration_node.py:420-423`), the snap filter, and in-place RANSAC
         orthogonalization — the batch dimension only replaces the Python loop
-        (`:587`). `tests/test_harness.py` pins batched == serial."""
+        (`:587`). `tests/test_harness.py` pins batched == serial (GT ICP /
+        correspondences / snap bit-identical; the vmapped RANSAC agrees with
+        the serial dispatches to f32 roundoff, <=1e-7 pose delta).
+
+        Sync discipline: on this platform every host<->device sync event costs
+        a flat ~27 ms round trip regardless of payload, so the whole scene runs
+        as enqueued device programs with exactly three fetches — the
+        correspondence counts (needed for the host-side 1 m-retry decision),
+        the RANSAC poses (host f64 orthogonalization), and one final
+        `jax.device_get` of everything else."""
         from vfmreg_tpu.parallel.mesh import (
             batched_icp,
+            batched_ransac,
             batched_snap,
             batched_vfm_correspondences,
         )
@@ -599,8 +609,10 @@ class RegistrationNode:
         map_3d = self._map_hash(scene_local_map, with_descriptors=False)
         grid_full = map_full.device_grid()
         grid3 = map_3d.device_grid()
-        map3_pts = map_3d.point_cloud()
-        map_pad, map_mask = _pad(map3_pts)
+        # The 3D grid's (points, valid) pair IS the padded capped store that
+        # `point_cloud()` would fetch and `_pad` would re-upload — use it
+        # directly and stay on device.
+        map_pad, map_mask = grid3.points, grid3.valid
 
         voxel_scans = [self._voxelize_scan(pc) for pc in scans]
         voxel_desc = [
@@ -621,69 +633,73 @@ class RegistrationNode:
             f = np.zeros((len(clouds), xyz.shape[1], scene_local_map.shape[1] - 3), np.float32)
             for j, c in enumerate(clouds):
                 f[j, : c.shape[0]] = c[:, 3:]
-            corr = batched_vfm_correspondences(
+            return batched_vfm_correspondences(
                 grid_full.points, grid_full.feats, grid_full.valid,
                 jnp.asarray(xyz), jnp.asarray(f), jnp.asarray(mask),
             )
-            return np.asarray(corr.source), np.asarray(corr.target), np.asarray(corr.mask)
 
         # 5 m pass for every scan; 1 m retry for scans below 75 correspondences.
-        src5, tgt5, m5 = match([voxel_down_sample(v, 5.0) for v in voxel_desc])
-        per = [(src5[j], tgt5[j], m5[j]) for j in range(b)]
-        retry = [j for j in range(b) if int(m5[j].sum()) < 75]
+        corr5 = match([voxel_down_sample(v, 5.0) for v in voxel_desc])
+        counts5 = np.asarray(jnp.sum(corr5.mask, axis=1))  # sync 1: retry decision
+        retry = [j for j in range(b) if int(counts5[j]) < 75]
+        c_src, c_tgt, c_mask = corr5.source, corr5.target, corr5.mask
+        corr_counts = [int(x) for x in counts5]
         if retry:
-            src1, tgt1, m1 = match([voxel_down_sample(voxel_desc[j], 1.0) for j in retry])
+            corr1 = match([voxel_down_sample(voxel_desc[j], 1.0) for j in retry])
+            counts1 = np.asarray(jnp.sum(corr1.mask, axis=1))
             for r, j in enumerate(retry):
-                per[j] = (src1[r], tgt1[r], m1[r])
-        corr_counts = [int(p[2].sum()) for p in per]
-        n_corr = max(p[0].shape[0] for p in per)
-        c_src = np.zeros((b, n_corr, 3), np.float32)
-        c_tgt = np.zeros((b, n_corr, 3), np.float32)
-        c_mask = np.zeros((b, n_corr), bool)
-        for j, (s, t, m) in enumerate(per):
-            c_src[j, : s.shape[0]] = s
-            c_tgt[j, : t.shape[0]] = t
-            c_mask[j, : m.shape[0]] = m
+                corr_counts[j] = int(counts1[r])
+            # Merge retried rows on device: pad both passes to a common width,
+            # route retry scan j to its row r in the 1 m batch, select by flag.
+            n_corr = max(c_src.shape[1], corr1.source.shape[1])
+
+            def pad_to(a, n):
+                pw = [(0, 0), (0, n - a.shape[1])] + [(0, 0)] * (a.ndim - 2)
+                return jnp.pad(a, pw)
+
+            row_of = np.zeros(b, np.int32)
+            is_retry = np.zeros(b, bool)
+            for r, j in enumerate(retry):
+                row_of[j] = r
+                is_retry[j] = True
+            rows = jnp.asarray(row_of)
+            flag = jnp.asarray(is_retry)
+            c_src = jnp.where(
+                flag[:, None, None], pad_to(corr1.source, n_corr)[rows], pad_to(c_src, n_corr)
+            )
+            c_tgt = jnp.where(
+                flag[:, None, None], pad_to(corr1.target, n_corr)[rows], pad_to(c_tgt, n_corr)
+            )
+            c_mask = jnp.where(
+                flag[:, None], pad_to(corr1.mask, n_corr)[rows], pad_to(c_mask, n_corr)
+            )
 
         s_xyz, s_mask = stack(voxel_scans, 3)
+        s_xyz_j = jnp.asarray(s_xyz)
+        s_mask_j = jnp.asarray(s_mask)
         snap_src, snap_tgt, snap_mask = batched_snap(
-            jnp.asarray(c_src), jnp.asarray(c_tgt), jnp.asarray(c_mask),
-            jnp.asarray(s_xyz), jnp.asarray(s_mask), map_pad, map_mask,
+            c_src, c_tgt, c_mask, s_xyz_j, s_mask_j, map_pad, map_mask,
         )
-        snap_counts = np.asarray(jnp.sum(snap_mask, axis=1))
         if self._sharded_ransac is not None:
             # Multi-chip: the hypothesis budget shards over the mesh per scan
-            # (same layout the serial path uses).
-            ransac_poses = np.stack([
-                np.asarray(
-                    self._sharded_ransac(
-                        snap_src[j], snap_tgt[j], snap_mask[j], jax.random.PRNGKey(j)
-                    )[0]
-                )
+            # (same layout the serial path uses); enqueue all scans, fetch once.
+            ransac_dev = jnp.stack([
+                self._sharded_ransac(
+                    snap_src[j], snap_tgt[j], snap_mask[j], jax.random.PRNGKey(j)
+                )[0]
                 for j in range(b)
             ])
         else:
-            # Per-scan dispatches of the single compiled RANSAC program: the
-            # vmapped variant lays out the chunk scan poorly (measured 0.32 s
-            # vs 4 x 2 ms for B=4 x 50k hypotheses on TPU), and per-lane
-            # results here are bit-identical to the serial loop by
-            # construction (same program, same PRNGKey(scan_idx)).
-            ransac_poses = np.stack([
-                np.asarray(
-                    _device_ransac(
-                        snap_src[j], snap_tgt[j], snap_mask[j],
-                        jax.random.PRNGKey(j), num_hypotheses=RANSAC_HYPOTHESES,
-                    ).pose
-                )
-                for j in range(b)
-            ])
-        ransac_raw = np.asarray(ransac_poses, dtype=np.float64)
+            keys = jnp.stack([jax.random.PRNGKey(j) for j in range(b)])
+            ransac_dev = batched_ransac(
+                snap_src, snap_tgt, snap_mask, keys, num_hypotheses=RANSAC_HYPOTHESES
+            )
+        # sync 2: RANSAC poses (the f64 Newton orthogonalization is host-side).
+        ransac_raw = np.asarray(jax.device_get(ransac_dev), dtype=np.float64)
         ransac_ortho = ransac_raw.copy()
         for j in range(b):
             ransac_ortho[j, :3, :3] = orthogonalize(ransac_raw[j, :3, :3])
 
-        s_xyz_j = jnp.asarray(s_xyz)
-        s_mask_j = jnp.asarray(s_mask)
         gt = batched_icp(
             grid3, s_xyz_j, s_mask_j,
             jnp.asarray(np.stack(poses), dtype=jnp.float32),
@@ -699,15 +715,25 @@ class RegistrationNode:
             jnp.asarray(np.tile(np.eye(4, dtype=np.float32), (b, 1, 1))),
             jnp.float32(7 * sigma), jnp.float32(sigma / 7),
         )
+        # sync 3: one fetch for every remaining device result.
+        fetched = jax.device_get(
+            {
+                "gt": gt,
+                "refined": refined,
+                "vanilla": vanilla,
+                "snap_counts": jnp.sum(snap_mask, axis=1),
+                "map_size": grid3.num_points,
+            }
+        )
         return {
-            "gt": np.asarray(gt, dtype=np.float64),
+            "gt": np.asarray(fetched["gt"], dtype=np.float64),
             "vfm_ransac_raw": ransac_raw,
             "vfm_ransac_ortho": ransac_ortho,
-            "vfm_ransac_icp": np.asarray(refined, dtype=np.float64),
-            "icp": np.asarray(vanilla, dtype=np.float64),
+            "vfm_ransac_icp": np.asarray(fetched["refined"], dtype=np.float64),
+            "icp": np.asarray(fetched["vanilla"], dtype=np.float64),
             "corr_counts": corr_counts,
-            "snap_counts": [int(x) for x in np.asarray(snap_counts)],
-            "map_size": map3_pts.shape[0],
+            "snap_counts": [int(x) for x in np.asarray(fetched["snap_counts"])],
+            "map_size": int(fetched["map_size"]),
             "scan_sizes": [v.shape[0] for v in voxel_scans],
         }
 
