@@ -112,3 +112,47 @@ def test_snap_correspondences(rng):
     assert ok[:10].all()
     assert not ok[10:].any()
     np.testing.assert_allclose(np.asarray(s_src)[:10], scan[:10], atol=1e-6)
+
+
+def test_jacobi_eigh4_matches_numpy(rng):
+    """The component-form cyclic Jacobi (`procrustes._jacobi_eigh4`, the RANSAC
+    hot loop) recovers eigenpairs of random symmetric 4x4 batches to f32
+    machine precision."""
+    from vfmreg_tpu.registration.procrustes import _jacobi_eigh4
+
+    M = rng.randn(256, 4, 4).astype(np.float32)
+    S = (M + M.transpose(0, 2, 1)) / 2
+    vals, vecs = _jacobi_eigh4(jnp.asarray(S))
+    vals, vecs = np.asarray(vals), np.asarray(vecs)
+    np.testing.assert_allclose(
+        np.sort(vals, axis=-1), np.linalg.eigvalsh(S), atol=5e-5
+    )
+    # Eigenvector residual: S v = lambda v, columns of vecs.
+    res = np.einsum("bij,bjk->bik", S, vecs) - vals[:, None, :] * vecs
+    assert np.abs(res).max() < 5e-5
+
+
+def test_kabsch_horn_matches_svd_kabsch(rng):
+    """Horn/Jacobi rotation core agrees with the SVD Kabsch route, including
+    on degenerate (collinear) triplets, and always returns proper rotations."""
+    from vfmreg_tpu.registration.procrustes import kabsch, kabsch_horn
+
+    src = rng.randn(128, 3, 3).astype(np.float32)
+    tgt = rng.randn(128, 3, 3).astype(np.float32)
+    # Make a few triplets exactly collinear (rank-deficient cross-covariance).
+    src[:8, 2] = 2.0 * src[:8, 1] - src[:8, 0]
+    T_h = np.asarray(kabsch_horn(jnp.asarray(src), jnp.asarray(tgt)))
+    R_h = T_h[:, :3, :3]
+    np.testing.assert_allclose(
+        R_h @ R_h.transpose(0, 2, 1), np.tile(np.eye(3), (128, 1, 1)), atol=1e-5
+    )
+    np.testing.assert_allclose(np.linalg.det(R_h), 1.0, atol=1e-5)
+    # Same optimum as the SVD route: compare attained residuals (the rotations
+    # themselves may differ when the optimum is non-unique).
+    T_s = np.asarray(kabsch(jnp.asarray(src), jnp.asarray(tgt)))
+
+    def cost(T):
+        moved = np.einsum("bij,bnj->bni", T[:, :3, :3], src) + T[:, None, :3, 3]
+        return np.sum((moved - tgt) ** 2, axis=(1, 2))
+
+    np.testing.assert_allclose(cost(T_h), cost(T_s), rtol=1e-4, atol=1e-4)
