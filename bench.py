@@ -74,7 +74,7 @@ def _run_workload(batch, n_map, n_scan, d, n_vfm, max_iterations, iters,
     import jax.numpy as jnp
 
     from vfmreg_tpu.ops.hash_grid import build_hash_grid
-    from vfmreg_tpu.ops.matching import get_vfm_correspondences
+    from vfmreg_tpu.ops.matching import get_vfm_correspondences_batched
     from vfmreg_tpu.ops.voxel import voxel_down_sample_masked
     from vfmreg_tpu.registration.vfm_icp import register_frame_vfm
 
@@ -88,15 +88,17 @@ def _run_workload(batch, n_map, n_scan, d, n_vfm, max_iterations, iters,
 
     @jax.jit
     def match(grid, sp, sf, sm):
-        def one(s, f, m):
+        def vds(s, f, m):
             # 5 m voxelize the scan -> small query set (`Registration.cpp:217`)
             p5, f5, m5 = voxel_down_sample_masked(s, 5.0, mask=m, feats=f)
-            p5, f5, m5 = p5[:n_vfm], f5[:n_vfm], m5[:n_vfm]
-            return get_vfm_correspondences(
-                grid.points, grid.feats, grid.valid, p5, f5, m5
-            )
+            return p5[:n_vfm], f5[:n_vfm], m5[:n_vfm]
 
-        return jax.vmap(one)(sp, sf, sm)
+        p5, f5, m5 = jax.vmap(vds)(sp, sf, sm)
+        # Flattened-batch matching: the map descriptors (805 MB at the primary
+        # scale) stream from HBM once for all B scans, not once per lane.
+        return get_vfm_correspondences_batched(
+            grid.points, grid.feats, grid.valid, p5, f5, m5
+        )
 
     @jax.jit
     def register(grid, sp, sm, corrs):

@@ -178,3 +178,64 @@ def test_refresh_interval_recall_neutral(scene_h5):
             register_frame_icp(grid, sp, sm, jnp.asarray(guess), 3.0, 0.5, refresh_interval=ri)
         )
     np.testing.assert_allclose(poses[1], poses[16], atol=2e-3)
+
+
+@pytest.mark.slow
+def test_batched_driver_retry_merge_matches_serial(tmp_path):
+    """A scan small enough that its 5 m voxelization yields < 75 vfm
+    correspondences takes the 1 m retry (`registration_node.py:420-423`). The
+    batched path merges the retried rows ON DEVICE into the 5 m batch; this
+    pins that merge against the serial per-scan loop and asserts the retry
+    actually fired.
+
+    Unlike `test_batched_driver_matches_serial` (equal-size scans -> equal pad
+    widths -> bit-identical), the scans here land in different size buckets:
+    the batch pads the small scan to the large scan's bucket, which reorders
+    the f32 GN reductions. Rows are compared at solver-roundoff tolerance
+    (observed deltas up to ~3e-5 deg)."""
+    from vfmreg_tpu.data.h5io import save_scene as _save
+
+    rng = np.random.RandomState(5)
+    pts, feats = make_world(rng, n=9000)
+    T0 = np.eye(4)
+    map_clouds = [np.c_[pts, feats]]
+
+    seq_poses, seq_clouds = [], []
+    # One normal scan and one SMALL scan (radius 8 m -> a handful of 5 m voxels).
+    for cx, radius in ((-5.0, 30.0), (6.0, 8.0)):
+        T = np.eye(4)
+        T[:3, 3] = [cx, 2.0, 0.0]
+        keep = np.linalg.norm(pts[:, :2] - T[:2, 3], axis=1) < radius
+        local = pts[keep] - T[:3, 3]
+        seq_poses.append(T)
+        seq_clouds.append(np.c_[local, feats[keep]])
+
+    _save(tmp_path / "scene_000.h5", ["m", "a", "b"], [T0], map_clouds, seq_poses, seq_clouds)
+
+    results = {}
+    retried = None
+    for batch in (True, False):
+        node = RegistrationNode(
+            tmp_path,
+            methods_ransac=[("vfm", True)],
+            methods_teaser=[],
+            methods_pointdsc=[],
+            batch_scans=batch,
+        )
+        if batch:
+            scene = node._read_scene(0)
+            local_map = node._accumulate_map(scene)
+            pre = node._precompute_scene_batched(scene, local_map)
+            retried = pre["retried"]
+            node._read_scene(0)  # re-cache for make_step below
+        node.scene_idx = 0
+        node.make_step()
+        results[batch] = (node.trans_errors, node.rot_errors)
+
+    assert retried == [1], retried  # the small scan took the 1 m pass
+    for method in results[True][0]:
+        for kind in (0, 1):
+            a = results[True][kind][method]
+            b = results[False][kind][method]
+            atol = 2e-3 if "ransac" in method else 1e-4
+            np.testing.assert_allclose(a, b, atol=atol, rtol=1e-4, err_msg=method)

@@ -151,3 +151,47 @@ def test_pallas_cosine_argmax_matches_scan(rng):
     sim, idx = cosine_argmax(q, db, jnp.asarray(mask), block_q=64, block_m=128, interpret=True)
     np.testing.assert_allclose(np.asarray(sim), np.asarray(ref_sim), atol=1e-5)
     np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref_idx))
+
+
+def test_batched_vfm_correspondences_matches_vmapped():
+    """`get_vfm_correspondences_batched` (flattened-query batch, map streamed
+    once) returns exactly the per-scan `get_vfm_correspondences` results."""
+    import jax
+
+    from vfmreg_tpu.ops.matching import (
+        get_vfm_correspondences,
+        get_vfm_correspondences_batched,
+    )
+
+    rng = np.random.RandomState(3)
+    b, n, m, d = 4, 64, 512, 32
+    map_pts = rng.uniform(-20, 20, (m, 3)).astype(np.float32)
+    map_feats = rng.randn(m, d).astype(np.float32)
+    map_mask = rng.rand(m) > 0.1
+    sel = rng.choice(m, (b, n))
+    scan_pts = map_pts[sel] + rng.normal(0, 0.05, (b, n, 3)).astype(np.float32)
+    scan_feats = map_feats[sel] + rng.normal(0, 0.01, (b, n, d)).astype(np.float32)
+    scan_mask = rng.rand(b, n) > 0.2
+
+    batched = get_vfm_correspondences_batched(
+        jnp.asarray(map_pts), jnp.asarray(map_feats), jnp.asarray(map_mask),
+        jnp.asarray(scan_pts), jnp.asarray(scan_feats), jnp.asarray(scan_mask),
+    )
+    single = jax.vmap(
+        lambda sp, sf, sm: get_vfm_correspondences(
+            jnp.asarray(map_pts), jnp.asarray(map_feats), jnp.asarray(map_mask),
+            sp, sf, sm,
+        )
+    )(jnp.asarray(scan_pts), jnp.asarray(scan_feats), jnp.asarray(scan_mask))
+
+    np.testing.assert_array_equal(np.asarray(batched.mask), np.asarray(single.mask))
+    np.testing.assert_array_equal(np.asarray(batched.target), np.asarray(single.target))
+    np.testing.assert_allclose(
+        np.asarray(batched.similarity), np.asarray(single.similarity), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(batched.median_distance), np.asarray(single.median_distance), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(batched.mean_similarity), np.asarray(single.mean_similarity), atol=1e-6
+    )

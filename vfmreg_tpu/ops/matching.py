@@ -193,6 +193,59 @@ def get_vfm_correspondences(
     )
 
 
+@partial(jax.jit, static_argnames=("chunk", "use_pallas"))
+def get_vfm_correspondences_batched(
+    map_points: jnp.ndarray,
+    map_feats: jnp.ndarray,
+    map_mask: jnp.ndarray,
+    scan_points: jnp.ndarray,  # [B, N, 3]
+    scan_feats: jnp.ndarray,  # [B, N, D]
+    scan_mask: jnp.ndarray,  # [B, N]
+    min_cosine_similarity=0.8,
+    chunk: int = 4096,
+    use_pallas: Optional[bool] = None,
+) -> VFMCorrespondences:
+    """`get_vfm_correspondences` over B scans sharing ONE map, flattening the
+    batch into the query dimension so the database streams from HBM once.
+
+    Results are identical to the vmapped per-scan calls (the cosine arg-max is
+    per-query-row; only the grid layout changes), but the map side — the
+    dominant HBM traffic at production scale (524k x 384 f32 = 805 MB) — is
+    read once instead of B times. Measured at B=8 x 512 queries vs 524k: the
+    vmapped path re-streams 6.4 GB; this path streams 0.8 GB.
+    Returns the stacked VFMCorrespondences with [B, ...] fields.
+    """
+    b, n, _ = scan_points.shape
+    qn = l2_normalize(scan_feats.astype(jnp.float32)).reshape(b * n, -1)
+    dbn = l2_normalize(map_feats.astype(jnp.float32))
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        from vfmreg_tpu.ops.cosine_kernel import cosine_argmax
+
+        best_sim, best_idx = cosine_argmax(qn, dbn, map_mask)
+    else:
+        best_sim, best_idx = _chunked_argmax_ip(qn, dbn, map_mask, chunk)
+    best_sim = best_sim.reshape(b, n)
+    best_idx = best_idx.reshape(b, n)
+
+    accept = scan_mask & (best_sim >= jnp.asarray(min_cosine_similarity, jnp.float32))
+    target = map_points[best_idx]
+    dist = jnp.linalg.norm(scan_points - target, axis=-1)
+    med, mad = jax.vmap(masked_mad)(dist, accept)
+    n_q = jnp.maximum(jnp.sum(scan_mask.astype(jnp.int32), axis=1), 1)
+    mean_sim = jnp.sum(jnp.where(scan_mask, best_sim, 0.0), axis=1) / n_q
+    return VFMCorrespondences(
+        source=scan_points,
+        target=target,
+        mask=accept,
+        similarity=best_sim,
+        mean_similarity=mean_sim,
+        median_distance=med,
+        mad_distance=mad,
+    )
+
+
 class MutualNN(NamedTuple):
     idx0: jnp.ndarray  # [N0] index into cloud 0 (identity order)
     idx1: jnp.ndarray  # [N0] matched index into cloud 1

@@ -147,15 +147,17 @@ def sharded_ransac(mesh: Mesh, num_hypotheses: int = 50000, chunk: int = 1024):
 def batched_vfm_correspondences(
     map_pts, map_feats, map_valid, scan_pts, scan_feats, scan_mask
 ):
-    """vmapped cosine 1-NN matching against one shared map.
+    """Cosine 1-NN matching of B scans against one shared map.
 
-    scan_*: [B, N, ...]; returns the stacked VFMCorrespondences."""
-    fn = jax.vmap(
-        lambda sp, sf, sm: get_vfm_correspondences(
-            map_pts, map_feats, map_valid, sp, sf, sm
-        )
+    scan_*: [B, N, ...]; returns the stacked VFMCorrespondences. The batch is
+    flattened into the query dimension (`get_vfm_correspondences_batched`) so
+    the map descriptors stream from HBM once rather than once per lane —
+    identical results to the vmapped per-scan calls."""
+    from vfmreg_tpu.ops.matching import get_vfm_correspondences_batched
+
+    return get_vfm_correspondences_batched(
+        map_pts, map_feats, map_valid, scan_pts, scan_feats, scan_mask
     )
-    return fn(scan_pts, scan_feats, scan_mask)
 
 
 @jax.jit

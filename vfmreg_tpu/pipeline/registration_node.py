@@ -620,9 +620,11 @@ class RegistrationNode:
         ]
 
         def stack(clouds, dims):
+            # Row count = len(clouds), NOT the scene's scan count b: the 1 m
+            # retry stacks only the retried subset.
             n = max(bucket_size(max(c.shape[0], 1)) for c in clouds)
-            out = np.zeros((b, n, dims), np.float32)
-            m = np.zeros((b, n), bool)
+            out = np.zeros((len(clouds), n, dims), np.float32)
+            m = np.zeros((len(clouds), n), bool)
             for j, c in enumerate(clouds):
                 out[j, : c.shape[0]] = c[:, :dims]
                 m[j, : c.shape[0]] = True
@@ -735,6 +737,7 @@ class RegistrationNode:
             "snap_counts": [int(x) for x in np.asarray(fetched["snap_counts"])],
             "map_size": int(fetched["map_size"]),
             "scan_sizes": [v.shape[0] for v in voxel_scans],
+            "retried": retry,  # scans that took the 1 m pass (test/debug surface)
         }
 
     def make_step(self) -> None:
