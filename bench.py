@@ -140,39 +140,84 @@ def _run_workload(batch, n_map, n_scan, d, n_vfm, max_iterations, iters,
 
 def main():
     _enable_compilation_cache()
+    import jax
 
-    # PRIMARY: reference production scale, reference iteration budget.
-    real = _run_workload(
-        batch=8, n_map=524288, n_scan=16384, d=384, n_vfm=512,
-        max_iterations=1000, iters=8,
-    )
-    # SECONDARY: legacy small-scale workload (dense-coverage regime).
-    small = _run_workload(
-        batch=8, n_map=8192, n_scan=1024, d=384, n_vfm=1024,
-        max_iterations=1000, iters=10,
-    )
-
-    print(
-        json.dumps(
-            {
-                "metric": "scan_to_map_registrations_per_sec",
-                "value": round(real, 3),
-                "unit": (
-                    "reg/s (1 chip, map=524288, scan=16384, D=384, B=8, "
-                    "1000-iter budget, full VFM pipeline incl. grid build)"
-                ),
-                "vs_baseline": round(real / BASELINE_REG_PER_SEC_PER_CHIP, 3),
-                "secondary": {
-                    "metric": "small_scale_registrations_per_sec",
-                    "value": round(small, 3),
-                    "unit": "reg/s (1 chip, map=8192, scan=1024, D=384, B=8)",
-                },
-            }
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu:
+        # PRIMARY: reference production scale, reference iteration budget.
+        real = _run_workload(
+            batch=8, n_map=524288, n_scan=16384, d=384, n_vfm=512,
+            max_iterations=1000, iters=8,
         )
-    )
+        unit = (
+            "reg/s (1 chip, map=524288, scan=16384, D=384, B=8, "
+            "1000-iter budget, full VFM pipeline incl. grid build)"
+        )
+        # SECONDARY: legacy small-scale workload (dense-coverage regime).
+        small = _run_workload(
+            batch=8, n_map=8192, n_scan=1024, d=384, n_vfm=1024,
+            max_iterations=1000, iters=10,
+        )
+    else:
+        # No TPU reachable (the tunnel drops sometimes): record an honestly
+        # labeled scaled-down CPU run rather than grinding the production
+        # workload for hours on a host core or hanging the driver.
+        real = _run_workload(
+            batch=4, n_map=32768, n_scan=2048, d=384, n_vfm=256,
+            max_iterations=100, iters=2, scans_per_scene=8,
+        )
+        unit = (
+            "reg/s (CPU FALLBACK - TPU unavailable; reduced workload "
+            "map=32768, scan=2048, D=384, B=4, 100-iter budget; "
+            "NOT comparable to the TPU baseline)"
+        )
+        small = None
+
+    out = {
+        "metric": "scan_to_map_registrations_per_sec",
+        "value": round(real, 3),
+        "unit": unit,
+        "vs_baseline": round(real / BASELINE_REG_PER_SEC_PER_CHIP, 3),
+    }
+    if small is not None:
+        out["secondary"] = {
+            "metric": "small_scale_registrations_per_sec",
+            "value": round(small, 3),
+            "unit": "reg/s (1 chip, map=8192, scan=1024, D=384, B=8)",
+        }
+    print(json.dumps(out))
+
+
+def _probe_tpu_reachable(timeout_s: float = 240.0) -> bool:
+    """Initialize the TPU backend in a CHILD process under a timeout.
+
+    When the tunnel is down, `import jax; jax.devices()` hangs indefinitely in
+    whatever process first touches the backend — probing in a child keeps this
+    process clean so it can fall back to JAX_PLATFORMS=cpu.
+    """
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; assert jax.default_backend() == 'tpu'"],
+            timeout=timeout_s,
+            capture_output=True,
+        )
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
 
 
 if __name__ == "__main__":
+    if os.environ.get("JAX_PLATFORMS", "") != "cpu" and not _probe_tpu_reachable():
+        print("TPU backend unreachable; falling back to CPU", file=sys.stderr)
+        os.environ["JAX_PLATFORMS"] = "cpu"  # for child processes
+        # Load-bearing: with the axon plugin registered via sitecustomize, this
+        # jax build honors only the CONFIG override — env-only JAX_PLATFORMS=cpu
+        # still hangs jax.default_backend() when the tunnel is down (measured).
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     # The shared remote chip's free HBM fluctuates; a transient
     # RESOURCE_EXHAUSTED at a workload that normally fits deserves a retry
     # before failing the recorded benchmark.
