@@ -79,6 +79,32 @@ def test_registration_node_end_to_end(scene_h5, capsys):
     assert "Rotation error" in out
 
 
+def test_batched_driver_no_vfm_skips_vfm_stages(scene_h5, capsys):
+    """A method matrix without the vfm row must not pay the descriptor-map
+    grid build / matching / 50k-hypothesis RANSAC in the batched precompute —
+    and the rows it does produce must match the serial path exactly."""
+    errs = {}
+    for batch in (True, False):
+        node = RegistrationNode(
+            scene_h5,
+            methods_ransac=[],
+            methods_teaser=[],
+            methods_pointdsc=[],
+            batch_scans=batch,
+        )
+        node.make_step()
+        assert len(node.trans_errors["icp"]) == 2
+        assert "vfm_ransac_icp" not in node.trans_errors
+        errs[batch] = (node.trans_errors["icp"], node.rot_errors["icp"])
+        if batch:
+            # The with-descriptors hash map was never built or cached (it is
+            # cleared per scene; the 3D-only entry is the only one that ran).
+            out = capsys.readouterr().out
+            assert "(batched)" in out
+    np.testing.assert_array_equal(errs[True][0], errs[False][0])
+    np.testing.assert_array_equal(errs[True][1], errs[False][1])
+
+
 @pytest.mark.slow
 def test_batched_driver_matches_serial(scene_h5):
     """The vmapped per-scene path (`_precompute_scene_batched`) matches the

@@ -192,3 +192,12 @@ def test_hdbscan_scales_to_50k(rng):
     elapsed = time.time() - t0
     assert labels.max() + 1 >= 30  # the planted blobs are found
     assert elapsed < 20.0, f"50k clustering took {elapsed:.1f}s"
+
+
+def test_knn_rejects_nonpositive_k(rng):
+    pts = rng.normal(size=(10, 3))
+    tree = NativeKDTree(pts)
+    with np.testing.assert_raises(ValueError):
+        tree.knn(pts, 0)
+    with np.testing.assert_raises(ValueError):
+        tree.knn(pts, -3)

@@ -174,3 +174,35 @@ def test_incremental_active_window_freezes_upstream(rng):
     assert inc.optimize_if_needed() is True
     for k in range(8):
         np.testing.assert_allclose(inc.pose_at(k), frozen_before[k], atol=1e-6)
+
+
+def test_incremental_skips_solve_without_new_information(rng, monkeypatch):
+    """After a loop closure the reference quirk keeps new_loops_count == 1, so
+    optimize_if_needed() calls optimize() every frame — but with zero new
+    factors the solution is already current and the dense GN solve must be
+    skipped (gtsam's empty isam.update is near-free)."""
+    from vfmreg_tpu.registration import pose_graph as pg
+
+    g = pg.IncrementalPoseGraph(min_factors=100)
+    g.add_prior_factor_pose(0, np.eye(4))
+    T = np.eye(4)
+    T[0, 3] = 1.0
+    g.add_odom_edge(1, T)
+    g.add_loop_edge(0, 1, np.eye(4), sigma=0.1)
+    assert g.optimize_if_needed()  # first loop -> solves
+    poses_after = [p.copy() for p in g.poses]
+
+    calls = {"n": 0}
+    orig = pg._optimize
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return orig(*a, **k)
+
+    monkeypatch.setattr(pg, "_optimize", counting)
+    # new_loops_count stays 1 (reference behavior) -> optimize() re-enters,
+    # but with nothing new it must not re-run the GN solve.
+    assert g.optimize_if_needed()
+    assert calls["n"] == 0
+    for a, b in zip(g.poses, poses_after):
+        np.testing.assert_array_equal(a, b)

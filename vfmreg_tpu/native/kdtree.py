@@ -91,6 +91,10 @@ class NativeKDTree:
         q = _f64(np.atleast_2d(queries))
         nq = q.shape[0]
         assert q.shape[1] == self.dim
+        # k < 1 is undefined behavior in the C++ heap (push reads d2[0] of a
+        # zero-length buffer); fail loudly here instead.
+        if k < 1:
+            raise ValueError(f"knn requires k >= 1, got {k}")
         idx = np.empty((nq, k), dtype=np.int64)
         d2 = np.empty((nq, k), dtype=np.float64)
         self._lib.kd_knn(

@@ -605,19 +605,23 @@ class RegistrationNode:
             poses.append(pose)
         b = len(scans)
 
-        map_full = self._map_hash(scene_local_map, with_descriptors=True)
+        # The vfm correspondence/RANSAC/refine stages only run when the method
+        # matrix asks for the vfm row — a matrix of e.g. only fpfh rows must not
+        # pay the descriptor-map grid build and the B x 50k-hypothesis RANSAC.
+        want_vfm = any(m == "vfm" for m, _ in self.methods_ransac)
+        want_vfm_icp = any(m == "vfm" and ri for m, ri in self.methods_ransac)
+
         map_3d = self._map_hash(scene_local_map, with_descriptors=False)
-        grid_full = map_full.device_grid()
         grid3 = map_3d.device_grid()
+        if want_vfm:
+            map_full = self._map_hash(scene_local_map, with_descriptors=True)
+            grid_full = map_full.device_grid()
         # The 3D grid's (points, valid) pair IS the padded capped store that
         # `point_cloud()` would fetch and `_pad` would re-upload — use it
         # directly and stay on device.
         map_pad, map_mask = grid3.points, grid3.valid
 
         voxel_scans = [self._voxelize_scan(pc) for pc in scans]
-        voxel_desc = [
-            voxel_down_sample(voxel_down_sample(pc, vs * 0.5), vs * 1.0) for pc in scans
-        ]
 
         def stack(clouds, dims):
             # Row count = len(clouds), NOT the scene's scan count b: the 1 m
@@ -630,111 +634,126 @@ class RegistrationNode:
                 m[j, : c.shape[0]] = True
             return out, m
 
-        def match(clouds):
-            xyz, mask = stack(clouds, 3)
-            f = np.zeros((len(clouds), xyz.shape[1], scene_local_map.shape[1] - 3), np.float32)
-            for j, c in enumerate(clouds):
-                f[j, : c.shape[0]] = c[:, 3:]
-            return batched_vfm_correspondences(
-                grid_full.points, grid_full.feats, grid_full.valid,
-                jnp.asarray(xyz), jnp.asarray(f), jnp.asarray(mask),
-            )
-
-        # 5 m pass for every scan; 1 m retry for scans below 75 correspondences.
-        corr5 = match([voxel_down_sample(v, 5.0) for v in voxel_desc])
-        counts5 = np.asarray(jnp.sum(corr5.mask, axis=1))  # sync 1: retry decision
-        retry = [j for j in range(b) if int(counts5[j]) < 75]
-        c_src, c_tgt, c_mask = corr5.source, corr5.target, corr5.mask
-        corr_counts = [int(x) for x in counts5]
-        if retry:
-            corr1 = match([voxel_down_sample(voxel_desc[j], 1.0) for j in retry])
-            counts1 = np.asarray(jnp.sum(corr1.mask, axis=1))
-            for r, j in enumerate(retry):
-                corr_counts[j] = int(counts1[r])
-            # Merge retried rows on device: pad both passes to a common width,
-            # route retry scan j to its row r in the 1 m batch, select by flag.
-            n_corr = max(c_src.shape[1], corr1.source.shape[1])
-
-            def pad_to(a, n):
-                pw = [(0, 0), (0, n - a.shape[1])] + [(0, 0)] * (a.ndim - 2)
-                return jnp.pad(a, pw)
-
-            row_of = np.zeros(b, np.int32)
-            is_retry = np.zeros(b, bool)
-            for r, j in enumerate(retry):
-                row_of[j] = r
-                is_retry[j] = True
-            rows = jnp.asarray(row_of)
-            flag = jnp.asarray(is_retry)
-            c_src = jnp.where(
-                flag[:, None, None], pad_to(corr1.source, n_corr)[rows], pad_to(c_src, n_corr)
-            )
-            c_tgt = jnp.where(
-                flag[:, None, None], pad_to(corr1.target, n_corr)[rows], pad_to(c_tgt, n_corr)
-            )
-            c_mask = jnp.where(
-                flag[:, None], pad_to(corr1.mask, n_corr)[rows], pad_to(c_mask, n_corr)
-            )
-
         s_xyz, s_mask = stack(voxel_scans, 3)
         s_xyz_j = jnp.asarray(s_xyz)
         s_mask_j = jnp.asarray(s_mask)
-        snap_src, snap_tgt, snap_mask = batched_snap(
-            c_src, c_tgt, c_mask, s_xyz_j, s_mask_j, map_pad, map_mask,
-        )
-        if self._sharded_ransac is not None:
-            # Multi-chip: the hypothesis budget shards over the mesh per scan
-            # (same layout the serial path uses); enqueue all scans, fetch once.
-            ransac_dev = jnp.stack([
-                self._sharded_ransac(
-                    snap_src[j], snap_tgt[j], snap_mask[j], jax.random.PRNGKey(j)
-                )[0]
-                for j in range(b)
-            ])
-        else:
-            keys = jnp.stack([jax.random.PRNGKey(j) for j in range(b)])
-            ransac_dev = batched_ransac(
-                snap_src, snap_tgt, snap_mask, keys, num_hypotheses=RANSAC_HYPOTHESES
+
+        retry: list = []
+        corr_counts = ransac_raw = ransac_ortho = snap_mask = None
+        if want_vfm:
+            voxel_desc = [
+                voxel_down_sample(voxel_down_sample(pc, vs * 0.5), vs * 1.0)
+                for pc in scans
+            ]
+
+            def match(clouds):
+                xyz, mask = stack(clouds, 3)
+                f = np.zeros((len(clouds), xyz.shape[1], scene_local_map.shape[1] - 3), np.float32)
+                for j, c in enumerate(clouds):
+                    f[j, : c.shape[0]] = c[:, 3:]
+                return batched_vfm_correspondences(
+                    grid_full.points, grid_full.feats, grid_full.valid,
+                    jnp.asarray(xyz), jnp.asarray(f), jnp.asarray(mask),
+                )
+
+            # 5 m pass for every scan; 1 m retry for scans below 75 correspondences.
+            corr5 = match([voxel_down_sample(v, 5.0) for v in voxel_desc])
+            counts5 = np.asarray(jnp.sum(corr5.mask, axis=1))  # sync 1: retry decision
+            retry = [j for j in range(b) if int(counts5[j]) < 75]
+            c_src, c_tgt, c_mask = corr5.source, corr5.target, corr5.mask
+            corr_counts = [int(x) for x in counts5]
+            if retry:
+                corr1 = match([voxel_down_sample(voxel_desc[j], 1.0) for j in retry])
+                counts1 = np.asarray(jnp.sum(corr1.mask, axis=1))
+                for r, j in enumerate(retry):
+                    corr_counts[j] = int(counts1[r])
+                # Merge retried rows on device: pad both passes to a common width,
+                # route retry scan j to its row r in the 1 m batch, select by flag.
+                n_corr = max(c_src.shape[1], corr1.source.shape[1])
+
+                def pad_to(a, n):
+                    pw = [(0, 0), (0, n - a.shape[1])] + [(0, 0)] * (a.ndim - 2)
+                    return jnp.pad(a, pw)
+
+                row_of = np.zeros(b, np.int32)
+                is_retry = np.zeros(b, bool)
+                for r, j in enumerate(retry):
+                    row_of[j] = r
+                    is_retry[j] = True
+                rows = jnp.asarray(row_of)
+                flag = jnp.asarray(is_retry)
+                c_src = jnp.where(
+                    flag[:, None, None], pad_to(corr1.source, n_corr)[rows], pad_to(c_src, n_corr)
+                )
+                c_tgt = jnp.where(
+                    flag[:, None, None], pad_to(corr1.target, n_corr)[rows], pad_to(c_tgt, n_corr)
+                )
+                c_mask = jnp.where(
+                    flag[:, None], pad_to(corr1.mask, n_corr)[rows], pad_to(c_mask, n_corr)
+                )
+
+            snap_src, snap_tgt, snap_mask = batched_snap(
+                c_src, c_tgt, c_mask, s_xyz_j, s_mask_j, map_pad, map_mask,
             )
-        # sync 2: RANSAC poses (the f64 Newton orthogonalization is host-side).
-        ransac_raw = np.asarray(jax.device_get(ransac_dev), dtype=np.float64)
-        ransac_ortho = ransac_raw.copy()
-        for j in range(b):
-            ransac_ortho[j, :3, :3] = orthogonalize(ransac_raw[j, :3, :3])
+            if self._sharded_ransac is not None:
+                # Multi-chip: the hypothesis budget shards over the mesh per scan
+                # (same layout the serial path uses); enqueue all scans, fetch once.
+                ransac_dev = jnp.stack([
+                    self._sharded_ransac(
+                        snap_src[j], snap_tgt[j], snap_mask[j], jax.random.PRNGKey(j)
+                    )[0]
+                    for j in range(b)
+                ])
+            else:
+                keys = jnp.stack([jax.random.PRNGKey(j) for j in range(b)])
+                ransac_dev = batched_ransac(
+                    snap_src, snap_tgt, snap_mask, keys, num_hypotheses=RANSAC_HYPOTHESES
+                )
+            # sync 2: RANSAC poses (the f64 Newton orthogonalization is host-side).
+            ransac_raw = np.asarray(jax.device_get(ransac_dev), dtype=np.float64)
+            ransac_ortho = ransac_raw.copy()
+            for j in range(b):
+                ransac_ortho[j, :3, :3] = orthogonalize(ransac_raw[j, :3, :3])
 
         gt = batched_icp(
             grid3, s_xyz_j, s_mask_j,
             jnp.asarray(np.stack(poses), dtype=jnp.float32),
             jnp.float32(3 * sigma), jnp.float32(sigma / 3),
         )
-        refined = batched_icp(
-            grid3, s_xyz_j, s_mask_j,
-            jnp.asarray(ransac_ortho, dtype=jnp.float32),
-            jnp.float32(3 * sigma), jnp.float32(sigma / 3),
-        )
+        # The refined row is only consumed by a ('vfm', run_icp=True) entry.
+        refined = None
+        if want_vfm_icp:
+            refined = batched_icp(
+                grid3, s_xyz_j, s_mask_j,
+                jnp.asarray(ransac_ortho, dtype=jnp.float32),
+                jnp.float32(3 * sigma), jnp.float32(sigma / 3),
+            )
         vanilla = batched_icp(
             grid3, s_xyz_j, s_mask_j,
             jnp.asarray(np.tile(np.eye(4, dtype=np.float32), (b, 1, 1))),
             jnp.float32(7 * sigma), jnp.float32(sigma / 7),
         )
         # sync 3: one fetch for every remaining device result.
-        fetched = jax.device_get(
-            {
-                "gt": gt,
-                "refined": refined,
-                "vanilla": vanilla,
-                "snap_counts": jnp.sum(snap_mask, axis=1),
-                "map_size": grid3.num_points,
-            }
-        )
+        to_fetch = {"gt": gt, "vanilla": vanilla, "map_size": grid3.num_points}
+        if refined is not None:
+            to_fetch["refined"] = refined
+        if snap_mask is not None:
+            to_fetch["snap_counts"] = jnp.sum(snap_mask, axis=1)
+        fetched = jax.device_get(to_fetch)
         return {
             "gt": np.asarray(fetched["gt"], dtype=np.float64),
             "vfm_ransac_raw": ransac_raw,
             "vfm_ransac_ortho": ransac_ortho,
-            "vfm_ransac_icp": np.asarray(fetched["refined"], dtype=np.float64),
+            "vfm_ransac_icp": (
+                np.asarray(fetched["refined"], dtype=np.float64)
+                if refined is not None else None
+            ),
             "icp": np.asarray(fetched["vanilla"], dtype=np.float64),
             "corr_counts": corr_counts,
-            "snap_counts": [int(x) for x in np.asarray(fetched["snap_counts"])],
+            "snap_counts": (
+                [int(x) for x in np.asarray(fetched["snap_counts"])]
+                if snap_mask is not None else None
+            ),
             "map_size": int(fetched["map_size"]),
             "scan_sizes": [v.shape[0] for v in voxel_scans],
             "retried": retry,  # scans that took the 1 m pass (test/debug surface)
@@ -907,6 +926,10 @@ class RegistrationNode:
             print("=" * 80)
 
         self.scene_idx += 1
+        # The cached hash maps (host descriptor array + device hash grids) are
+        # per-scene; drop them now so scene N's ~GB-scale map isn't pinned
+        # while scene N+1's builds, and the last scene's isn't pinned forever.
+        self._hash_map_cache.clear()
         self._print_summary()
 
     # ------------------------------------------------------------------ metrics

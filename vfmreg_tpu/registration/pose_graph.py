@@ -269,6 +269,14 @@ class IncrementalPoseGraph:
         return False
 
     def optimize(self, num_iters: int = 20) -> None:
+        # No new information since the last solve (the reference's post-loop
+        # state: new_loops_count stays 1 so optimize_if_needed() calls here
+        # every frame) -> the solution is already current. gtsam's equivalent
+        # isam.update() with an empty factor graph is near-free; re-running
+        # the full dense GN here would be an O(n^3) solve per frame for an
+        # unchanged output.
+        if self._current and self._n_new_factors == 0 and self._new_min_vertex is None:
+            return
         order = {v: k for k, v in enumerate(self.vertex_ids)}
         poses0 = np.stack([self.pose_at(v) for v in self.vertex_ids])
 
