@@ -201,3 +201,20 @@ def test_knn_rejects_nonpositive_k(rng):
         tree.knn(pts, 0)
     with np.testing.assert_raises(ValueError):
         tree.knn(pts, -3)
+
+
+def test_single_linkage_native_matches_python(rng):
+    from vfmreg_tpu.native.kdtree import single_linkage_native
+    from vfmreg_tpu.utils.hdbscan import _single_linkage
+
+    # Random spanning tree over n nodes with tied weights (stable-sort path).
+    n = 500
+    perm = rng.permutation(n)
+    a = perm[1:]
+    b = np.array([perm[rng.randint(0, i)] for i in range(1, n)])
+    w = np.round(rng.uniform(0, 1, n - 1), 2)  # many exact ties
+    edges = np.column_stack([a.astype(np.float64), b.astype(np.float64), w])
+    m_native = single_linkage_native(edges)
+    assert m_native is not None
+    m_python = _single_linkage(edges, n)
+    np.testing.assert_array_equal(m_native, m_python)

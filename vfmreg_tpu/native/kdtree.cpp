@@ -368,4 +368,39 @@ int64_t kd_mst_mutual_reachability(void* handle, const double* core,
     return n_edges;
 }
 
+// Sorted-edge union-find single linkage over an MST edge list. Matches the
+// Python fallback exactly: stable sort by weight, path-compressed find,
+// merge rows (root_a, root_b, weight, merged_size) with fresh internal node
+// ids n..2n-2 assigned in merge order. out_merges is [n-1, 4] doubles.
+void kd_single_linkage(const int64_t* ea, const int64_t* eb, const double* ew,
+                       int64_t n, double* out_merges) {
+    if (n <= 1) return;
+    std::vector<int64_t> order(n - 1);
+    std::iota(order.begin(), order.end(), int64_t(0));
+    std::stable_sort(order.begin(), order.end(),
+                     [&](int64_t x, int64_t y) { return ew[x] < ew[y]; });
+    std::vector<int64_t> parent(2 * n - 1), size(2 * n - 1, 0);
+    std::iota(parent.begin(), parent.end(), int64_t(0));
+    std::fill(size.begin(), size.begin() + n, int64_t(1));
+    auto find = [&](int64_t a) {
+        int64_t root = a;
+        while (parent[root] != root) root = parent[root];
+        while (parent[a] != root) { int64_t nxt = parent[a]; parent[a] = root; a = nxt; }
+        return root;
+    };
+    int64_t nxt = n;
+    for (int64_t i = 0; i < n - 1; ++i) {
+        int64_t e = order[i];
+        int64_t ra = find(ea[e]), rb = find(eb[e]);
+        int64_t s = size[ra] + size[rb];
+        out_merges[i * 4 + 0] = double(ra);
+        out_merges[i * 4 + 1] = double(rb);
+        out_merges[i * 4 + 2] = ew[e];
+        out_merges[i * 4 + 3] = double(s);
+        size[nxt] = s;
+        parent[ra] = parent[rb] = nxt;
+        ++nxt;
+    }
+}
+
 }  // extern "C"

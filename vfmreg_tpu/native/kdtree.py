@@ -27,20 +27,30 @@ def _load() -> Optional[ctypes.CDLL]:
         return _LIB
     here = Path(__file__).parent
     so = here / "libkdtree.so"
-    if not so.exists():
+
+    def _build(force: bool) -> bool:
         try:
-            subprocess.run(
-                ["make", "-C", str(here), "libkdtree.so"],
-                check=True, capture_output=True, timeout=120,
-            )
+            cmd = ["make", "-C", str(here)] + (["-B"] if force else []) + ["libkdtree.so"]
+            subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+            return True
         except Exception:
-            _BUILD_FAILED = True
-            return None
-    try:
-        lib = ctypes.CDLL(str(so))
-    except OSError:
+            return False
+
+    if not so.exists() and not _build(force=False):
         _BUILD_FAILED = True
         return None
+    try:
+        lib = ctypes.CDLL(str(so))
+        lib.kd_single_linkage  # newest symbol: stale pre-built .so -> rebuild
+    except (OSError, AttributeError):
+        if not _build(force=True):
+            _BUILD_FAILED = True
+            return None
+        try:
+            lib = ctypes.CDLL(str(so))
+        except OSError:
+            _BUILD_FAILED = True
+            return None
 
     f64p = ctypes.POINTER(ctypes.c_double)
     i64p = ctypes.POINTER(ctypes.c_int64)
@@ -50,6 +60,7 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.kd_knn.argtypes = [ctypes.c_void_p, f64p, ctypes.c_int64, ctypes.c_int, i64p, f64p]
     lib.kd_mst_mutual_reachability.restype = ctypes.c_int64
     lib.kd_mst_mutual_reachability.argtypes = [ctypes.c_void_p, f64p, i64p, i64p, f64p]
+    lib.kd_single_linkage.argtypes = [i64p, i64p, f64p, ctypes.c_int64, f64p]
     _LIB = lib
     return _LIB
 
@@ -122,3 +133,29 @@ class NativeKDTree:
             w.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
         )
         return np.column_stack([a[:m].astype(np.float64), b[:m].astype(np.float64), w[:m]])
+
+
+def single_linkage_native(edges: np.ndarray) -> Optional[np.ndarray]:
+    """Union-find single linkage over [m, 3] (a, b, weight) MST edges ->
+    [m, 4] merge rows (root_a, root_b, weight, size), or None when the
+    native library is unavailable. Exact match of the Python fallback
+    (stable weight sort, merge-order internal node ids)."""
+    lib = _load()
+    if lib is None:
+        return None
+    edges = np.asarray(edges)
+    m = edges.shape[0]
+    if m == 0:
+        return np.empty((0, 4), dtype=np.float64)
+    ea = np.ascontiguousarray(edges[:, 0], dtype=np.int64)
+    eb = np.ascontiguousarray(edges[:, 1], dtype=np.int64)
+    ew = _f64(edges[:, 2])
+    out = np.empty((m, 4), dtype=np.float64)
+    lib.kd_single_linkage(
+        ea.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        eb.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ew.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        ctypes.c_int64(m + 1),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+    )
+    return out

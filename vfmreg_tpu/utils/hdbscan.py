@@ -17,10 +17,11 @@ item 9). The implementation follows Campello et al. 2013 exactly:
   6. stability-based excess-of-mass cluster selection; noise -> label -1.
 
 Measured scale (3D points, 50k = the upper end of a cluster-removal subset):
-end-to-end `hdbscan_labels` ~3.2 s — tree build 0.015 s + 25-NN core
-distances 0.21 s + Boruvka MST 0.50 s, remainder in the Python
-condense/extract. The dense fallback needs ~2.5x10^9 distance evaluations at
-that size and is for small inputs only.
+end-to-end `hdbscan_labels` ~1.0-1.5 s (was ~3.2 s) — tree build 0.015 s +
+25-NN core distances 0.21 s + Boruvka MST 0.50 s + native union-find single
+linkage ~0.02 s (`native/kdtree.cpp:kd_single_linkage`; was 0.78 s in
+Python) + vectorized condense/extract ~0.2 s. The dense fallback needs
+~2.5x10^9 distance evaluations at that size and is for small inputs only.
 
 Label VALUES are arbitrary (as in every HDBSCAN implementation); the
 PARTITION is what parity with the reference requires, and
@@ -182,21 +183,18 @@ def _condense_and_extract(merges: np.ndarray, n: int, min_cluster_size: int) -> 
     finite_lams = rows_lam[np.isfinite(rows_lam)]
     lam_cap = float(finite_lams.max()) if len(finite_lams) else 0.0
     rows_lam = np.where(np.isfinite(rows_lam), rows_lam, lam_cap)
+    cluster_rows = rows_child < 0  # rows referencing child clusters
     birth = np.zeros(n_clusters)
-    for p, c, lam in zip(rows_parent, rows_child, rows_lam):
-        if c < 0:
-            birth[-c] = lam
+    birth[-rows_child[cluster_rows]] = rows_lam[cluster_rows]
     # Stability = sum over exits (individual points and child-split exits,
     # each weighted by its size).
     stability = np.zeros(n_clusters)
-    for p, c, lam, s in zip(rows_parent, rows_child, rows_lam, rows_size):
-        stability[p] += (lam - birth[p]) * s
+    np.add.at(stability, rows_parent, (rows_lam - birth[rows_parent]) * rows_size)
 
-    # Children map.
+    # Children map (cluster rows only — 2 per split, so this stays tiny).
     kids = [[] for _ in range(n_clusters)]
-    for p, c in zip(rows_parent, rows_child):
-        if c < 0:
-            kids[p].append(-c)
+    for p, c in zip(rows_parent[cluster_rows], rows_child[cluster_rows]):
+        kids[p].append(-c)
 
     # EOM bottom-up: selected[c] = own if stability >= sum(child subtree scores)
     score = stability.copy()
@@ -222,25 +220,26 @@ def _condense_and_extract(merges: np.ndarray, n: int, min_cluster_size: int) -> 
             stack.append((k, covered or take))
 
     # Point labels: a point belongs to the nearest selected ancestor of the
-    # condensed cluster it falls out of.
-    labels = np.full(n, -1, dtype=np.int64)
-    label_of = {}
-    nxt = 0
-    # parent chain for clusters
+    # condensed cluster it falls out of. Resolve the ancestor walk once per
+    # CLUSTER (tens), then label all point rows by one vectorized gather.
     cparent = np.full(n_clusters, -1, dtype=np.int64)
-    for p, c in zip(rows_parent, rows_child):
-        if c < 0:
-            cparent[-c] = p
-    for p, c in zip(rows_parent, rows_child):
-        if c >= 0:
-            cid = p
-            while cid >= 0 and not keep[cid]:
-                cid = cparent[cid]
-            if cid >= 0 and keep[cid]:
-                if cid not in label_of:
-                    label_of[cid] = nxt
-                    nxt += 1
-                labels[c] = label_of[cid]
+    cparent[-rows_child[cluster_rows]] = rows_parent[cluster_rows]
+    kept_anc = np.full(n_clusters, -1, dtype=np.int64)
+    for cid0 in range(n_clusters):
+        cid = cid0
+        while cid >= 0 and not keep[cid]:
+            cid = cparent[cid]
+        kept_anc[cid0] = cid
+    # Label ids in first-point-row-encounter order (matches the loop this
+    # replaces; label VALUES are arbitrary, the partition is what's pinned).
+    point_rows = ~cluster_rows
+    anc = kept_anc[rows_parent[point_rows]]
+    labeled = anc >= 0
+    uniq, first_idx = np.unique(anc[labeled], return_index=True)
+    label_of = np.argsort(np.argsort(first_idx))  # rank = encounter order
+    labels = np.full(n, -1, dtype=np.int64)
+    pts = rows_child[point_rows][labeled]
+    labels[pts] = label_of[np.searchsorted(uniq, anc[labeled])]
     return labels
 
 
@@ -254,5 +253,9 @@ def hdbscan_labels(points: np.ndarray, min_cluster_size: int = 100, min_samples:
     if edges is None:
         core = _core_distances(x, min_samples)
         edges = _mst_mutual_reachability(x, core)
-    merges = _single_linkage(edges, n)
+    from vfmreg_tpu.native.kdtree import single_linkage_native
+
+    merges = single_linkage_native(edges)
+    if merges is None:
+        merges = _single_linkage(edges, n)
     return _condense_and_extract(merges, n, min_cluster_size)
