@@ -177,7 +177,11 @@ def main():
         "metric": "scan_to_map_registrations_per_sec",
         "value": round(real, 3),
         "unit": unit,
-        "vs_baseline": round(real / BASELINE_REG_PER_SEC_PER_CHIP, 3),
+        # CPU-fallback throughput vs the TPU per-chip target would be a
+        # meaningless ratio — null it rather than record a bogus regression.
+        "vs_baseline": (
+            round(real / BASELINE_REG_PER_SEC_PER_CHIP, 3) if on_tpu else None
+        ),
     }
     if small is not None:
         out["secondary"] = {

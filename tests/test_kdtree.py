@@ -214,7 +214,13 @@ def test_single_linkage_native_matches_python(rng):
     b = np.array([perm[rng.randint(0, i)] for i in range(1, n)])
     w = np.round(rng.uniform(0, 1, n - 1), 2)  # many exact ties
     edges = np.column_stack([a.astype(np.float64), b.astype(np.float64), w])
-    m_native = single_linkage_native(edges)
+    m_native = single_linkage_native(edges, n)
     assert m_native is not None
     m_python = _single_linkage(edges, n)
     np.testing.assert_array_equal(m_native, m_python)
+    # Incomplete MSTs (disconnected / non-finite input) are rejected loudly
+    # rather than silently shifting every internal node id.
+    with np.testing.assert_raises(ValueError):
+        single_linkage_native(edges[:-1], n)
+    with np.testing.assert_raises(ValueError):
+        _single_linkage(edges[:-1], n)

@@ -42,25 +42,45 @@ def _load() -> Optional[ctypes.CDLL]:
     try:
         lib = ctypes.CDLL(str(so))
         lib.kd_single_linkage  # newest symbol: stale pre-built .so -> rebuild
-    except (OSError, AttributeError):
-        if not _build(force=True):
-            _BUILD_FAILED = True
-            return None
-        try:
-            lib = ctypes.CDLL(str(so))
-        except OSError:
-            _BUILD_FAILED = True
-            return None
+    except AttributeError:
+        # dlopen caches by pathname, so re-CDLL'ing the rebuilt file would
+        # return the stale image; load the fresh build through a unique copy.
+        import shutil
+        import tempfile
 
-    f64p = ctypes.POINTER(ctypes.c_double)
-    i64p = ctypes.POINTER(ctypes.c_int64)
-    lib.kd_build.restype = ctypes.c_void_p
-    lib.kd_build.argtypes = [f64p, ctypes.c_int64, ctypes.c_int]
-    lib.kd_free.argtypes = [ctypes.c_void_p]
-    lib.kd_knn.argtypes = [ctypes.c_void_p, f64p, ctypes.c_int64, ctypes.c_int, i64p, f64p]
-    lib.kd_mst_mutual_reachability.restype = ctypes.c_int64
-    lib.kd_mst_mutual_reachability.argtypes = [ctypes.c_void_p, f64p, i64p, i64p, f64p]
-    lib.kd_single_linkage.argtypes = [i64p, i64p, f64p, ctypes.c_int64, f64p]
+        lib = None
+        if _build(force=True):
+            try:
+                tmp = tempfile.NamedTemporaryFile(
+                    suffix=".so", prefix="libkdtree_", delete=False
+                )
+                tmp.close()
+                shutil.copy(str(so), tmp.name)
+                lib = ctypes.CDLL(tmp.name)
+            except OSError:
+                lib = None
+        if lib is None:
+            _BUILD_FAILED = True
+            return None
+    except OSError:
+        _BUILD_FAILED = True
+        return None
+
+    try:
+        f64p = ctypes.POINTER(ctypes.c_double)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        lib.kd_build.restype = ctypes.c_void_p
+        lib.kd_build.argtypes = [f64p, ctypes.c_int64, ctypes.c_int]
+        lib.kd_free.argtypes = [ctypes.c_void_p]
+        lib.kd_knn.argtypes = [ctypes.c_void_p, f64p, ctypes.c_int64, ctypes.c_int, i64p, f64p]
+        lib.kd_mst_mutual_reachability.restype = ctypes.c_int64
+        lib.kd_mst_mutual_reachability.argtypes = [ctypes.c_void_p, f64p, i64p, i64p, f64p]
+        lib.kd_single_linkage.argtypes = [i64p, i64p, f64p, ctypes.c_int64, f64p]
+    except AttributeError:
+        # A symbol is still missing (e.g. the rebuild compiled old sources):
+        # honor the contract — callers fall back to the numpy paths.
+        _BUILD_FAILED = True
+        return None
     _LIB = lib
     return _LIB
 
@@ -135,16 +155,26 @@ class NativeKDTree:
         return np.column_stack([a[:m].astype(np.float64), b[:m].astype(np.float64), w[:m]])
 
 
-def single_linkage_native(edges: np.ndarray) -> Optional[np.ndarray]:
-    """Union-find single linkage over [m, 3] (a, b, weight) MST edges ->
-    [m, 4] merge rows (root_a, root_b, weight, size), or None when the
-    native library is unavailable. Exact match of the Python fallback
-    (stable weight sort, merge-order internal node ids)."""
+def single_linkage_native(edges: np.ndarray, n: int) -> Optional[np.ndarray]:
+    """Union-find single linkage over the [n-1, 3] (a, b, weight) MST edges of
+    an n-point hierarchy -> [n-1, 4] merge rows (root_a, root_b, weight,
+    size), or None when the native library is unavailable. Exact match of the
+    Python fallback (stable weight sort, merge-order internal node ids).
+
+    Requires a complete spanning tree: internal node ids are n..2n-2, so an
+    edge list shorter than n-1 (disconnected input, e.g. NaN coordinates)
+    would silently shift every id — rejected here instead.
+    """
     lib = _load()
     if lib is None:
         return None
     edges = np.asarray(edges)
     m = edges.shape[0]
+    if m != n - 1:
+        raise ValueError(
+            f"single linkage needs the complete MST: got {m} edges for n={n} "
+            "points (disconnected input, e.g. non-finite coordinates)"
+        )
     if m == 0:
         return np.empty((0, 4), dtype=np.float64)
     ea = np.ascontiguousarray(edges[:, 0], dtype=np.int64)
@@ -155,7 +185,7 @@ def single_linkage_native(edges: np.ndarray) -> Optional[np.ndarray]:
         ea.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         eb.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         ew.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
-        ctypes.c_int64(m + 1),
+        ctypes.c_int64(n),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
     )
     return out

@@ -144,23 +144,6 @@ def sharded_ransac(mesh: Mesh, num_hypotheses: int = 50000, chunk: int = 1024):
 
 
 @jax.jit
-def batched_vfm_correspondences(
-    map_pts, map_feats, map_valid, scan_pts, scan_feats, scan_mask
-):
-    """Cosine 1-NN matching of B scans against one shared map.
-
-    scan_*: [B, N, ...]; returns the stacked VFMCorrespondences. The batch is
-    flattened into the query dimension (`get_vfm_correspondences_batched`) so
-    the map descriptors stream from HBM once rather than once per lane —
-    identical results to the vmapped per-scan calls."""
-    from vfmreg_tpu.ops.matching import get_vfm_correspondences_batched
-
-    return get_vfm_correspondences_batched(
-        map_pts, map_feats, map_valid, scan_pts, scan_feats, scan_mask
-    )
-
-
-@jax.jit
 def batched_snap(corr_src, corr_tgt, corr_mask, scan_pts, scan_mask, map_pts, map_mask):
     """vmapped snap filter (`registration_node.py:295-310`) over B scans
     against one shared voxelized map."""

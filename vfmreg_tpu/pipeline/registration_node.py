@@ -468,6 +468,18 @@ class RegistrationNode:
         21: [2, 1, 0], 23: [5, 2, 0], 24: [0, 2, 0],
     }
 
+    def _gt_fixed_pose(self, pose) -> np.ndarray:
+        """Scene GT pose with the manual RobotCar translation fixes applied —
+        the ONE copy shared by the serial loop and the batched precompute, so
+        the two paths (pinned identical by `tests/test_harness.py`) can't
+        drift."""
+        pose = np.array(pose, dtype=np.float64)
+        if "robotcar" in self.filenames[self.scene_idx].as_posix():
+            fix = self._ROBOTCAR_GT_FIX.get(self.scene_idx)
+            if fix is not None:
+                pose[:3, 3] += np.array(fix, dtype=np.float64)
+        return pose
+
     def _apply_cluster_removal(self, local_map: np.ndarray, rng_cluster_removal) -> np.ndarray:
         """Semantic cluster-removal experiment (`registration_node.py:684-792`):
         DINOv2-PCA color match -> isolated-point filter -> kNN region growth ->
@@ -582,27 +594,20 @@ class RegistrationNode:
         correspondence counts (needed for the host-side 1 m-retry decision),
         the RANSAC poses (host f64 orthogonalization), and one final
         `jax.device_get` of everything else."""
+        from vfmreg_tpu.ops.matching import get_vfm_correspondences_batched
         from vfmreg_tpu.parallel.mesh import (
             batched_icp,
             batched_ransac,
             batched_snap,
-            batched_vfm_correspondences,
         )
 
         vs = self.config.mapping.voxel_size
         sigma = self.config.adaptive_threshold.initial_threshold
-        robotcar = "robotcar" in self.filenames[self.scene_idx].as_posix()
 
         scans, poses = [], []
         for pose, pc in zip(scene["scene_poses"], scene["scene_point_clouds"]):
-            pc = voxel_down_sample(pc, 0.1).astype(pc.dtype)
-            pose = np.array(pose, dtype=np.float64)
-            if robotcar:
-                fix = self._ROBOTCAR_GT_FIX.get(self.scene_idx)
-                if fix is not None:
-                    pose[:3, 3] += np.array(fix, dtype=np.float64)
-            scans.append(pc)
-            poses.append(pose)
+            scans.append(voxel_down_sample(pc, 0.1).astype(pc.dtype))
+            poses.append(self._gt_fixed_pose(pose))
         b = len(scans)
 
         # The vfm correspondence/RANSAC/refine stages only run when the method
@@ -651,7 +656,7 @@ class RegistrationNode:
                 f = np.zeros((len(clouds), xyz.shape[1], scene_local_map.shape[1] - 3), np.float32)
                 for j, c in enumerate(clouds):
                     f[j, : c.shape[0]] = c[:, 3:]
-                return batched_vfm_correspondences(
+                return get_vfm_correspondences_batched(
                     grid_full.points, grid_full.feats, grid_full.valid,
                     jnp.asarray(xyz), jnp.asarray(f), jnp.asarray(mask),
                 )
@@ -814,11 +819,7 @@ class RegistrationNode:
                 print(f"Map {scene_local_map.shape[0]}, Scan {point_cloud.shape[0]}")
                 pose = np.eye(4)
 
-            pose = np.array(pose, dtype=np.float64)
-            if "robotcar" in self.filenames[self.scene_idx].as_posix():
-                fix = self._ROBOTCAR_GT_FIX.get(self.scene_idx)
-                if fix is not None:
-                    pose[:3, 3] += np.array(fix, dtype=np.float64)
+            pose = self._gt_fixed_pose(pose)
 
             # GT pose: noiseless KISS-ICP (`:644-646`).
             print(f'{"--- Ground truth: ICP w/o noise ---":-^80}')

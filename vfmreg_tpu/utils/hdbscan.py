@@ -84,6 +84,11 @@ def _mst_mutual_reachability(x: np.ndarray, core: np.ndarray):
 
 def _single_linkage(edges: np.ndarray, n: int):
     """Sorted-edge union-find -> merge list [(left_node, right_node, dist, size)]."""
+    if edges.shape[0] != n - 1:
+        raise ValueError(
+            f"single linkage needs the complete MST: got {edges.shape[0]} edges "
+            f"for n={n} points (disconnected input, e.g. non-finite coordinates)"
+        )
     order = np.argsort(edges[:, 2], kind="stable")
     parent = np.arange(2 * n - 1, dtype=np.int64)
     size = np.concatenate([np.ones(n, dtype=np.int64), np.zeros(n - 1, dtype=np.int64)])
@@ -255,7 +260,7 @@ def hdbscan_labels(points: np.ndarray, min_cluster_size: int = 100, min_samples:
         edges = _mst_mutual_reachability(x, core)
     from vfmreg_tpu.native.kdtree import single_linkage_native
 
-    merges = single_linkage_native(edges)
+    merges = single_linkage_native(edges, n)
     if merges is None:
         merges = _single_linkage(edges, n)
     return _condense_and_extract(merges, n, min_cluster_size)
