@@ -257,3 +257,30 @@ def test_prefetch_order_and_exceptions():
     it2 = prefetch(iter(range(10**6)), size=1)
     assert next(it2) == 0
     it2.close()
+
+
+def test_imports_do_not_initialize_jax_backend():
+    """Importing the package surface must not create device arrays: a
+    module-level jnp constant initializes the jax backend at import time,
+    which hangs every CLI before it can force the CPU platform whenever the
+    remote-TPU tunnel is down (observed: kiss CLI stuck despite
+    --platform cpu). Runs in a subprocess so this test's own jax state
+    doesn't contaminate the check."""
+    import subprocess
+    import sys
+
+    code = (
+        "import vfmreg_tpu, vfmreg_tpu.kiss.pipeline, vfmreg_tpu.kiss.datasets,"
+        "vfmreg_tpu.ops.hash_grid, vfmreg_tpu.ops.matching,"
+        "vfmreg_tpu.ops.sparse_conv, vfmreg_tpu.ops.voxel,"
+        "vfmreg_tpu.registration.icp, vfmreg_tpu.parallel.mesh,"
+        "vfmreg_tpu.pipeline.registration_node, vfmreg_tpu.kiss.cli\n"
+        "from jax._src import xla_bridge\n"
+        "assert not xla_bridge._backends, dict(xla_bridge._backends)\n"
+        "print('clean')\n"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=300
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "clean" in out.stdout

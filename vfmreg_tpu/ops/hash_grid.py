@@ -27,6 +27,7 @@ from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from vfmreg_tpu.ops.voxel import INVALID_HASH, voxel_coords, voxel_hash
 
@@ -277,9 +278,12 @@ def extend_hash_grid(
     )
 
 
-_NEIGHBOR_OFFSETS = jnp.array(
+# numpy constant (module-level jnp arrays initialize the backend at import
+# time, hanging imports when the remote-TPU tunnel is down); consumed inside
+# jit, where it becomes the same program constant.
+_NEIGHBOR_OFFSETS = np.array(
     [[i, j, k] for i in (-1, 0, 1) for j in (-1, 0, 1) for k in (-1, 0, 1)],
-    dtype=jnp.int32,
+    dtype=np.int32,
 )  # [27, 3]
 
 

@@ -25,8 +25,11 @@ from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-_NEG_INF = jnp.float32(-jnp.inf)
+# numpy constant: a module-level jnp scalar would initialize the backend at
+# import time (hangs imports when the remote-TPU tunnel is down).
+_NEG_INF = np.float32(-np.inf)
 
 
 def l2_normalize(x: jnp.ndarray, axis: int = -1, eps: float = 0.0) -> jnp.ndarray:

@@ -46,7 +46,9 @@ def _coord_hash(coords: jnp.ndarray) -> jnp.ndarray:
     return h
 
 
-_INVALID = jnp.uint32(0xFFFFFFFF)
+# numpy constant: a module-level jnp scalar would initialize the backend at
+# import time (hangs imports when the remote-TPU tunnel is down).
+_INVALID = np.uint32(0xFFFFFFFF)
 
 
 class CoordLookup(NamedTuple):

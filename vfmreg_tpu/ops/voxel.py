@@ -25,8 +25,12 @@ from __future__ import annotations
 from typing import Optional, Tuple
 
 import jax.numpy as jnp
+import numpy as np
 
-INVALID_HASH = jnp.uint32(0xFFFFFFFF)
+# numpy (not jnp) constant: a module-level device array would initialize the
+# jax backend at import time — which HANGS every CLI/import before it can
+# force the CPU platform when the remote-TPU tunnel is down.
+INVALID_HASH = np.uint32(0xFFFFFFFF)
 
 
 def voxel_coords(points: jnp.ndarray, voxel_size) -> jnp.ndarray:
