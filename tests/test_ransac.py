@@ -156,3 +156,42 @@ def test_kabsch_horn_matches_svd_kabsch(rng):
         return np.sum((moved - tgt) ** 2, axis=(1, 2))
 
     np.testing.assert_allclose(cost(T_h), cost(T_s), rtol=1e-4, atol=1e-4)
+
+
+def test_snap_correspondences_world_scale(rng):
+    """The snap filter must keep exact-member correspondences at world-scale
+    coordinates: the naive -2ab argmin expansion loses ~0.1 m of precision at
+    |p| ~ 100 m (and picks wrong neighbors beyond ~500 m), blowing the 1e-3
+    gate. The implementation centers the NN search and gates on the directly
+    computed distance."""
+    from vfmreg_tpu.registration.ransac import snap_correspondences
+
+    for offset in (100.0, 500.0, 1000.0):
+        scan = (rng.rand(400, 3) * 40 + offset).astype(np.float32)
+        map_pts = (rng.rand(2000, 3) * 40 + offset).astype(np.float32)
+        # correspondences ARE members of the clouds (true distance 0)
+        si = rng.choice(400, 200, replace=False)
+        ti = rng.choice(2000, 200, replace=False)
+        src, tgt = scan[si], map_pts[ti]
+        s, t, ok = snap_correspondences(
+            jnp.asarray(src), jnp.asarray(tgt), jnp.ones(200, bool),
+            jnp.asarray(scan), jnp.ones(400, bool),
+            jnp.asarray(map_pts), jnp.ones(2000, bool),
+        )
+        assert np.asarray(ok).all(), f"dropped {200 - int(np.asarray(ok).sum())} at offset {offset}"
+        np.testing.assert_array_equal(np.asarray(s), src)
+        np.testing.assert_array_equal(np.asarray(t), tgt)
+
+
+def test_ransac_empty_mask_reports_failure(rng):
+    """Zero valid correspondences -> rmse inf, n_corr 0, identity pose — not a
+    'perfect' 0-rmse garbage model."""
+    src = rng.randn(64, 3).astype(np.float32)
+    tgt = rng.randn(64, 3).astype(np.float32)
+    res = ransac_registration(
+        jnp.asarray(src), jnp.asarray(tgt), jnp.zeros(64, bool),
+        jax.random.PRNGKey(0), num_hypotheses=256, chunk=128,
+    )
+    assert int(res.n_corr) == 0
+    assert np.isinf(float(res.rmse))
+    np.testing.assert_array_equal(np.asarray(res.pose), np.eye(4, dtype=np.float32))

@@ -104,3 +104,57 @@ def test_fcgf_extractor(rng):
     assert feats.shape == (down.shape[0], 32)
     assert down.shape[0] < 2000
     np.testing.assert_allclose(np.linalg.norm(feats, axis=1), 1.0, atol=1e-4)
+
+
+def _find_hash_collision():
+    """Two DISTINCT int coords with equal 32-bit spatial hash (birthday search)."""
+    from vfmreg_tpu.ops.voxel import voxel_hash
+
+    rng = np.random.RandomState(0)
+    for trial in range(20):
+        coords = rng.randint(-500, 500, size=(200_000, 3)).astype(np.int32)
+        h = np.asarray(voxel_hash(jnp.asarray(coords)))
+        _, first_idx, counts = np.unique(h, return_index=True, return_counts=True)
+        dup_hashes = _[counts > 1]
+        for dh in dup_hashes[:50]:
+            rows = np.nonzero(h == dh)[0]
+            for a in rows:
+                for b in rows:
+                    if a < b and np.any(coords[a] != coords[b]):
+                        return coords[a], coords[b]
+    return None
+
+
+def test_hash_collision_does_not_corrupt_lookup_or_downsample():
+    """Distinct coordinates colliding on the 32-bit hash must (a) BOTH survive
+    unique-site extraction and (b) never alias each other's feature rows in
+    lookup_rows — identity is confirmed on the coordinates, hash is only the
+    sort key."""
+    pair = _find_hash_collision()
+    assert pair is not None, "no 32-bit collision found in 4M samples (unexpected)"
+    ca, cb = pair
+
+    from vfmreg_tpu.ops.sparse_conv import build_coord_lookup, lookup_rows
+
+    filler = np.arange(12, dtype=np.int32)[:, None] * 3 + np.array([[7, 11, 13]], np.int32)
+    coords = jnp.asarray(np.vstack([filler, ca[None], cb[None]]))
+    n = coords.shape[0]
+    mask = jnp.ones(n, bool)
+
+    lk = build_coord_lookup(coords, mask)
+    rows, found = lookup_rows(lk, coords, mask)
+    assert bool(jnp.all(found))
+    # each coordinate resolves to ITS OWN row, not its collision partner's
+    np.testing.assert_array_equal(np.asarray(rows), np.arange(n))
+
+    # unique-site extraction (now hash-free lexsort) keeps both distinct
+    # sites and merges true duplicates
+    from vfmreg_tpu.ops.sparse_conv import downsample_coords
+
+    c2 = jnp.asarray(np.vstack([ca[None] * 2, cb[None] * 2, ca[None] * 2]))  # duplicate of a
+    m2 = jnp.ones(3, bool)
+    out_c, out_m = downsample_coords(c2, m2, 1)
+    kept = np.asarray(out_c)[np.asarray(out_m)]
+    assert kept.shape[0] == 2, kept
+    kept_set = {tuple(r) for r in kept.tolist()}
+    assert kept_set == {tuple((ca * 2).tolist()), tuple((cb * 2).tolist())}

@@ -89,7 +89,7 @@ def ball_query(
 
 def grouping_operation(features: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """[B, C, N], [B, S, k] -> [B, C, S, k]."""
-    return jax.vmap(lambda f, i: f[:, i].transpose(0, 1, 2))(features, idx)
+    return jax.vmap(lambda f, i: f[:, i])(features, idx)
 
 
 def three_nn(unknown: jnp.ndarray, known: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:

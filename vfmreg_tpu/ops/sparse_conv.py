@@ -32,19 +32,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from vfmreg_tpu.ops.voxel import voxel_hash
 
-def _coord_hash(coords: jnp.ndarray) -> jnp.ndarray:
-    c = coords.astype(jnp.uint32)
-    h = c[..., 0] * jnp.uint32(0x9E3779B1)
-    h = (h + c[..., 1]) * jnp.uint32(0x85EBCA77)
-    h = (h + c[..., 2]) * jnp.uint32(0xC2B2AE3D)
-    h = h ^ (h >> 16)
-    h = h * jnp.uint32(0x85EBCA6B)
-    h = h ^ (h >> 13)
-    h = h * jnp.uint32(0xC2B2AE35)
-    h = h ^ (h >> 16)
-    return h
 
+# One spatial hash for the repo: the murmur-finalized chain in ops.voxel
+# (whose docstring carries the collision analysis). The hash is only a SORT
+# KEY here — identity is always confirmed against the actual coordinates.
+_coord_hash = voxel_hash
 
 # numpy constant: a module-level jnp scalar would initialize the backend at
 # import time (hangs imports when the remote-TPU tunnel is down).
@@ -53,22 +47,43 @@ _INVALID = np.uint32(0xFFFFFFFF)
 
 class CoordLookup(NamedTuple):
     sorted_hash: jnp.ndarray  # [N] uint32 ascending (INVALID padding at tail)
+    sorted_coords: jnp.ndarray  # [N, 3] coords per sorted slot (identity check)
     row_of_sorted: jnp.ndarray  # [N] original row per sorted slot
 
 
 def build_coord_lookup(coords: jnp.ndarray, mask: jnp.ndarray) -> CoordLookup:
     h = jnp.where(mask, _coord_hash(coords), _INVALID)
     order = jnp.argsort(h, stable=True)
-    return CoordLookup(sorted_hash=h[order], row_of_sorted=order.astype(jnp.int32))
+    return CoordLookup(
+        sorted_hash=h[order],
+        sorted_coords=coords[order],
+        row_of_sorted=order.astype(jnp.int32),
+    )
 
 
 def lookup_rows(lookup: CoordLookup, coords: jnp.ndarray, valid: jnp.ndarray):
-    """coords [M, 3] -> (row [M], found [M]) in the indexed coordinate set."""
+    """coords [M, 3] -> (row [M], found [M]) in the indexed coordinate set.
+
+    The hash locates the slot; identity is confirmed on the COORDINATES over a
+    4-slot window (a colliding foreign coordinate must never inject its
+    feature row). A >4-way distinct-coordinate hash collision (~N^4/2^96)
+    would read as absent — a dropped neighbor contribution, not corruption.
+    """
     h = jnp.where(valid, _coord_hash(coords), _INVALID)
-    idx = jnp.searchsorted(lookup.sorted_hash, h)
-    idx = jnp.minimum(idx, lookup.sorted_hash.shape[0] - 1)
-    found = (lookup.sorted_hash[idx] == h) & (h != _INVALID)
-    return lookup.row_of_sorted[idx], found
+    base = jnp.searchsorted(lookup.sorted_hash, h)
+    n = lookup.sorted_hash.shape[0]
+    row = jnp.zeros(coords.shape[0], dtype=lookup.row_of_sorted.dtype)
+    found = jnp.zeros(coords.shape[0], dtype=bool)
+    for w in range(4):
+        idx = jnp.minimum(base + w, n - 1)
+        hit = (
+            (lookup.sorted_hash[idx] == h)
+            & (h != _INVALID)
+            & jnp.all(lookup.sorted_coords[idx] == coords, axis=-1)
+        )
+        row = jnp.where(hit & ~found, lookup.row_of_sorted[idx], row)
+        found = found | hit
+    return row, found
 
 
 def kernel_offsets(kernel_size: int, stride_units: int, order: str = "last_fastest") -> np.ndarray:
@@ -118,11 +133,16 @@ def downsample_coords(
     """
     new_stride = 2 * stride_units
     floored = (coords // new_stride) * new_stride
-    h = jnp.where(mask, _coord_hash(floored), _INVALID)
-    order = jnp.argsort(h, stable=True)
-    h_s = h[order]
+    # Lexicographic sort on the COORDINATES (invalid rows last): exact unique
+    # extraction with no dependence on the 32-bit hash — two distinct coords
+    # colliding on the hash would otherwise merge (dropped site) or, when
+    # interleaved inside a hash run, duplicate.
+    order = jnp.lexsort(
+        (floored[:, 2], floored[:, 1], floored[:, 0], ~mask)
+    )
     c_s = floored[order]
     m_s = mask[order]
-    is_first = jnp.concatenate([jnp.ones((1,), bool), h_s[1:] != h_s[:-1]]) & m_s
+    boundary = jnp.any(c_s[1:] != c_s[:-1], axis=-1) | (m_s[1:] != m_s[:-1])
+    is_first = jnp.concatenate([jnp.ones((1,), bool), boundary]) & m_s
     comp = jnp.argsort(~is_first, stable=True)
     return c_s[comp], is_first[comp]

@@ -98,7 +98,14 @@ def ransac_registration(
     R = best_T_c[:3, :3]
     t = best_T_c[:3, 3] + c - R @ c
     best_T = best_T_c.at[:3, 3].set(t)
-    return RansacResult(pose=best_T, rmse=jnp.sqrt(best_mse), n_corr=valid_count)
+    # Zero valid correspondences must read as FAILURE (rmse=inf, n_corr=0,
+    # identity pose), not as a perfect 0-rmse fit of a garbage model (the
+    # all-masked mse sum is 0/denom = 0 for every hypothesis).
+    true_count = jnp.sum(mask.astype(jnp.int32))
+    any_valid = true_count > 0
+    best_T = jnp.where(any_valid, best_T, jnp.eye(4, dtype=jnp.float32))
+    best_mse = jnp.where(any_valid, best_mse, jnp.inf)
+    return RansacResult(pose=best_T, rmse=jnp.sqrt(best_mse), n_corr=true_count)
 
 
 @partial(jax.jit, static_argnames=("chunk",))
@@ -121,7 +128,20 @@ def snap_correspondences(
     """
     from vfmreg_tpu.ops.matching import _chunked_argmin_l2
 
-    d2_s, idx_s = _chunked_argmin_l2(src.astype(jnp.float32), scan_points, scan_mask, chunk)
-    d2_t, idx_t = _chunked_argmin_l2(tgt.astype(jnp.float32), map_points, map_mask, chunk)
-    ok = mask & (jnp.sqrt(d2_s) < tol) & (jnp.sqrt(d2_t) < tol)
-    return scan_points[idx_s], map_points[idx_t], ok
+    # f32 robustness at world-scale coordinates: the argmin's -2ab expansion
+    # catastrophically cancels (measured: ~0.1 m error on true-zero distances
+    # at |p| ~ 100 m, wrong NN picks beyond ~500 m), so (a) the NN search runs
+    # on globally CENTERED clouds — one shared shift preserves all pairwise
+    # distances exactly — and (b) the tol gate uses the directly-computed
+    # distance to the gathered point, never the expanded d2.
+    n_src = jnp.maximum(jnp.sum(mask.astype(jnp.float32)), 1.0)
+    c = jnp.sum(jnp.where(mask[:, None], src, 0.0), axis=0) / n_src
+    src_c = (src - c).astype(jnp.float32)
+    _, idx_s = _chunked_argmin_l2(src_c, scan_points - c, scan_mask, chunk)
+    _, idx_t = _chunked_argmin_l2((tgt - c).astype(jnp.float32), map_points - c, map_mask, chunk)
+    snapped_src = scan_points[idx_s]
+    snapped_tgt = map_points[idx_t]
+    d_s = jnp.linalg.norm(src - snapped_src, axis=-1)
+    d_t = jnp.linalg.norm(tgt - snapped_tgt, axis=-1)
+    ok = mask & (d_s < tol) & (d_t < tol)
+    return snapped_src, snapped_tgt, ok
