@@ -541,3 +541,31 @@ def test_factory_covers_all_reference_names():
         "mcap", "ncd", "nuscenes", "ouster", "paris_luco", "rosbag", "tum",
     }
     assert reference_names <= set(_FACTORY)
+
+
+def test_nclt_kiss_loader_flips_to_z_up(tmp_path):
+    """The kiss NCLT odometry loader returns [x, -y, -z] (`nclt.py:78-79`) —
+    unlike vfm-reg's own NCLT dataloader, which keeps the raw frame."""
+    from vfmreg_tpu.kiss.datasets import NCLTDataset
+
+    scans = tmp_path / "velodyne_data" / "seq" / "velodyne_sync"
+    scans.mkdir(parents=True)
+    pts = np.array([[1.0, 2.0, -3.0], [-4.5, 0.25, 7.0]])
+    raw = np.round((pts + 100.0) / 0.005).astype(np.int16)
+    data = np.zeros((2, 4), dtype=np.int16)
+    data[:, :3] = raw
+    data.tofile(scans / "1335704127712909.bin")
+    ds = NCLTDataset(tmp_path, sequence="seq")
+    got = ds[0]
+    expected = np.stack([pts[:, 0], -pts[:, 1], -pts[:, 2]], axis=1)
+    np.testing.assert_allclose(got, expected, atol=0.005)
+
+
+def test_generic_loader_natural_sort(tmp_path):
+    """Non-zero-padded names must order numerically (reference uses natsort)."""
+    from vfmreg_tpu.kiss.datasets import GenericDataset
+
+    for name in ("scan_10.bin", "scan_2.bin", "scan_1.bin"):
+        np.zeros((4, 4), np.float32).tofile(tmp_path / name)
+    ds = GenericDataset(tmp_path)
+    assert [f.name for f in ds.scan_files] == ["scan_1.bin", "scan_2.bin", "scan_10.bin"]

@@ -111,3 +111,30 @@ def test_spinnet_extractor_small_cloud(rng):
     kp, feats = extract_spinnet_features(pts, 8, batch_size=8)
     assert feats.shape == (8, 32)
     assert np.all(np.isfinite(feats))
+
+
+def test_gedi_patch_sampling_excludes_masked_slots():
+    """Patches with few in-radius neighbors must sample only VALID slots
+    (masked slots hold arbitrary clipped-sentinel points); short patches pad
+    with random replicas like the reference (`gedi.py:253-262`)."""
+    import jax
+
+    from vfmreg_tpu.models.gedi import gedi_lrf_patches
+
+    rng = np.random.RandomState(2)
+    k, n_valid = 64, 5
+    center = np.zeros((1, 3), np.float32)
+    nbr = np.full((1, k, 3), 37.0, np.float32)  # garbage far point in masked slots
+    nbr[0, :n_valid] = rng.uniform(-0.4, 0.4, (n_valid, 3))
+    m = np.zeros((1, k), bool)
+    m[0, :n_valid] = True
+    patches = np.asarray(
+        gedi_lrf_patches(
+            jnp.asarray(center), jnp.asarray(nbr), jnp.asarray(m),
+            jax.random.PRNGKey(0), r_lrf=0.5, samples_per_patch_out=32,
+        )
+    )
+    # every sampled local coordinate comes from the valid ball (|p|/r <= ~1),
+    # never from the 37-meter garbage slot (|p|/r ~ 128)
+    norms = np.linalg.norm(patches[0], axis=-1)
+    assert norms.max() < 2.0, norms.max()

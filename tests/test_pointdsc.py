@@ -58,3 +58,33 @@ def test_pointdsc_subsamples_large_input(rng):
     got = model.register(src, tgt)
     te = np.linalg.norm(got[:3, 3] - T[:3, 3])
     assert te < 0.3
+
+
+@pytest.mark.slow
+def test_pointdsc_padding_is_inert(rng):
+    """Bucket padding must not change real rows: pad columns previously
+    entered the NonLocal softmax with attention*logits = 0 (weight exp(0)=1),
+    mixing pad V-projections into every message."""
+    params = init_pointdsc_params(jax.random.PRNGKey(0), num_layers=2)
+    src, tgt, T = make_corrs(rng, n=100, outlier_frac=0.2)
+    corr = np.c_[src, tgt] - np.c_[src, tgt].mean(0)
+
+    def run(n_pad):
+        c = np.zeros((100 + n_pad, corr.shape[1]), np.float32)
+        s = np.zeros((100 + n_pad, 3), np.float32)
+        t = np.zeros((100 + n_pad, 3), np.float32)
+        c[:100], s[:100], t[:100] = corr, src, tgt
+        m = np.zeros(100 + n_pad, bool)
+        m[:100] = True
+        return pointdsc_forward(
+            params, jnp.asarray(c), jnp.asarray(s), jnp.asarray(t), jnp.asarray(m)
+        )
+
+    a = run(0)
+    b = run(28)
+    np.testing.assert_allclose(
+        np.asarray(a["final_trans"]), np.asarray(b["final_trans"]), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(a["confidence"])[:100], np.asarray(b["confidence"])[:100], atol=1e-5
+    )

@@ -68,3 +68,27 @@ def test_log_so3_near_pi():
     Rm = R.from_rotvec(w).as_matrix()
     w_back = np.asarray(se3.log_so3(jnp.asarray(Rm)))
     np.testing.assert_allclose(w_back, w, atol=1e-3)
+
+
+def test_log_so3_near_pi_dead_zone():
+    """Angles in (pi - 1.414e-3, pi - 1e-3) previously fell between the
+    near_pi_cos branch (sin neutralized) and the near_pi axis rewrite,
+    returning |w| ~ 0.004 instead of ~pi."""
+    from vfmreg_tpu.geometry.se3 import exp_so3, log_so3
+
+    rng = np.random.RandomState(5)
+    for delta in (9e-4, 1.1e-3, 1.2e-3, 1.35e-3, 1.5e-3, 5e-3):
+        axis = rng.randn(3)
+        axis /= np.linalg.norm(axis)
+        w = jnp.asarray((np.pi - delta) * axis, dtype=jnp.float32)
+        R = exp_so3(w)
+        w_back = np.asarray(log_so3(R))
+        np.testing.assert_allclose(
+            np.linalg.norm(w_back), np.pi - delta, atol=5e-4,
+            err_msg=f"delta={delta}",
+        )
+        # direction (sign-consistent with the input axis)
+        np.testing.assert_allclose(
+            w_back / np.linalg.norm(w_back), axis, atol=3e-3,
+            err_msg=f"delta={delta}",
+        )

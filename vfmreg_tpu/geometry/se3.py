@@ -87,8 +87,15 @@ def log_so3(R: jnp.ndarray) -> jnp.ndarray:
         theta / (2.0 * sin_theta),
     )
     w = factor[..., None] * w_vee
-    # Near theta == pi the vee formula degenerates; handle via the symmetric part.
-    near_pi = theta > jnp.pi - 1e-3
+    # Near theta == pi the vee formula degenerates; handle via the symmetric
+    # part. The rewrite must COVER the near_pi_cos zone (theta > pi - 1.42e-3,
+    # where sin_theta was neutralized to 1.0 and `w` above is garbage): a
+    # narrower threshold leaves a dead band returning |w| ~ theta/2 * 2sin(d)
+    # ~ 0.004 instead of ~pi. The wider 1e-2 margin also avoids the
+    # factor = theta/(2 sin) amplification of f32 acos error (cot(theta) ~
+    # -1/(pi - theta) blows a ~1e-5 theta error into ~1% of |w| at pi - 5e-3);
+    # the axis-from-symmetric-part route carries only the theta error itself.
+    near_pi = theta > jnp.pi - 1e-2
     # R + I has columns proportional to axis outer products.
     B = R + jnp.eye(3, dtype=R.dtype)
     col_norms = jnp.linalg.norm(B, axis=-2)

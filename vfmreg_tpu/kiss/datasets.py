@@ -38,7 +38,9 @@ class GenericDataset:
             files.extend(self.data_dir.glob(e))
         if not files:
             raise FileNotFoundError(f"No point cloud files in {data_dir}")
-        self.scan_files = sorted(files)
+        # Natural sort like the reference (`generic.py` uses natsort): plain
+        # lexicographic order misorders non-zero-padded names (scan_10 < scan_2).
+        self.scan_files = _natsorted(files)
         self.sequence_id = os.path.basename(str(data_dir))
 
     def __len__(self):
@@ -117,7 +119,8 @@ class NCLTDataset:
         x = binary[0::4].astype(np.float32) * 0.005 - 100.0
         y = binary[1::4].astype(np.float32) * 0.005 - 100.0
         z = binary[2::4].astype(np.float32) * 0.005 - 100.0
-        return np.stack([x, y, z], axis=1).astype(np.float64)
+        # Flip to z-up like the reference (`nclt.py:78-79`: [x, -y, -z]).
+        return np.stack([x, -y, -z], axis=1).astype(np.float64)
 
 
 class MulranDataset:

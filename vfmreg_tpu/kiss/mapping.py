@@ -265,14 +265,6 @@ class VoxelHashMap:
         )
         self._dev_count_pending = self._grid.num_points
 
-    def _sync_from_device(self):
-        """Pull the device map back to host arrays (export/interop paths)."""
-        if self._grid is not None:
-            valid = np.asarray(self._grid.valid)
-            self._points = np.asarray(self._grid.points)[valid]
-            if self._grid.feats is not None:
-                self._feats = np.asarray(self._grid.feats)[valid]
-
     def update(self, points: np.ndarray, pose: np.ndarray = np.eye(4)):
         """Transform by pose, add, evict far voxels (`VoxelHashMap.cpp:678-731`)."""
         xyz, feats = self._split(points)

@@ -151,7 +151,6 @@ def gedi_lrf_patches(
 
     def per_patch(p, nn, m, subkey):
         x = (p[None, :] - nn) * m[:, None]  # p - pi, zero-masked
-        cnt = jnp.maximum(jnp.sum(m), 1)
         cov = x.T @ x / nn.shape[0]  # reference divides by N (c), not count
         _, vecs = jnp.linalg.eigh(cov)
         v_small = vecs[:, 0]
@@ -167,7 +166,17 @@ def gedi_lrf_patches(
         yp = jnp.cross(xp, zp)
         lrf = jnp.stack([xp, yp, zp], axis=1)
 
-        sel = jax.random.permutation(subkey, nn.shape[0])[:samples_per_patch_out]
+        # Sample only VALID (in-radius) slots — masked slots hold arbitrary
+        # clipped-sentinel points. Valid slots shuffle to the front; positions
+        # past the valid count wrap to random valid replicas, matching the
+        # reference's pad-with-replicas sampling (`gedi.py:253-262`).
+        k1, k2 = jax.random.split(subkey)
+        r = jax.random.uniform(k1, (nn.shape[0],))
+        order = jnp.argsort(jnp.where(m, r, 1.0 + r))  # valid first, shuffled
+        cnt = jnp.maximum(jnp.sum(m.astype(jnp.int32)), 1)
+        pos = jnp.arange(samples_per_patch_out)
+        replica = jax.random.randint(k2, (samples_per_patch_out,), 0, cnt)
+        sel = jnp.where(pos < cnt, order[jnp.minimum(pos, nn.shape[0] - 1)], order[replica])
         local = ((nn - p) / r_lrf) @ lrf
         return local[sel]
 

@@ -88,13 +88,20 @@ def _apply_bn(x, bn, eps=1e-5):
     return (x - bn["mean"]) * jax.lax.rsqrt(bn["var"] + eps) * bn["gamma"] + bn["beta"]
 
 
-def _nonlocal_block(feat, attention, block, num_channels):
-    """`NonLocalBlock.forward` (`PointDSC.py:28-50`). feat: [N, C]."""
+def _nonlocal_block(feat, attention, block, num_channels, col_mask=None):
+    """`NonLocalBlock.forward` (`PointDSC.py:28-50`). feat: [N, C].
+
+    col_mask excludes PADDING columns from the softmax: the reference runs
+    unpadded, and a pad column's attention*logits = 0 would otherwise weigh
+    exp(0) = 1 — mixing pad rows' (bias-driven) V into every real message."""
     Q = feat @ block["q"]["w"] + block["q"]["b"]
     K = feat @ block["k"]["w"] + block["k"]["b"]
     V = feat @ block["v"]["w"] + block["v"]["b"]
     logits = (Q @ K.T) / math.sqrt(num_channels)
-    weight = jax.nn.softmax(attention * logits, axis=-1)
+    scores = attention * logits
+    if col_mask is not None:
+        scores = jnp.where(col_mask[None, :], scores, -jnp.inf)
+    weight = jax.nn.softmax(scores, axis=-1)
     message = weight @ V
     m = jax.nn.relu(_apply_bn(message @ block["msg1"]["dense"]["w"] + block["msg1"]["dense"]["b"], block["msg1"]["bn"]))
     m = jax.nn.relu(_apply_bn(m @ block["msg2"]["dense"]["w"] + block["msg2"]["dense"]["b"], block["msg2"]["bn"]))
@@ -102,12 +109,19 @@ def _nonlocal_block(feat, attention, block, num_channels):
     return feat + m
 
 
-def pointdsc_encode(params: Dict[str, Any], corr_pos: jnp.ndarray, compat: jnp.ndarray):
+def pointdsc_encode(
+    params: Dict[str, Any],
+    corr_pos: jnp.ndarray,
+    compat: jnp.ndarray,
+    mask: jnp.ndarray = None,
+):
     """NonLocalNet encoder + confidence head (`PointDSC.py:52-80,175-180`).
 
     corr_pos [N, in_dim], compat [N, N] -> (feat [N, C], confidence [N]).
     Split out of `pointdsc_forward` so the torch-parity fixtures can pin the
-    converter against the reference encoder in isolation."""
+    converter against the reference encoder in isolation. `mask` (None =
+    all valid) keeps padding rows out of the NonLocal softmax — the reference
+    runs unpadded, so pads must be inert for parity at bucketed shapes."""
     num_channels = params["layer0"]["w"].shape[1]
     feat = corr_pos @ params["layer0"]["w"] + params["layer0"]["b"]
     for block in params["blocks"]:
@@ -117,7 +131,7 @@ def pointdsc_encode(params: Dict[str, Any], corr_pos: jnp.ndarray, compat: jnp.n
                 block["pointcn"]["bn"],
             )
         )
-        feat = _nonlocal_block(feat, compat, block, num_channels)
+        feat = _nonlocal_block(feat, compat, block, num_channels, col_mask=mask)
     h = feat
     for i, layer in enumerate(params["classification"]):
         h = h @ layer["w"] + layer["b"]
@@ -153,7 +167,7 @@ def pointdsc_forward(
     compat = jnp.clip(1.0 - compat**2 / (sigma_d**2), 0.0, None)
     compat = jnp.where(mask[:, None] & mask[None, :], compat, 0.0)
 
-    feat, confidence = pointdsc_encode(params, corr_pos, compat)
+    feat, confidence = pointdsc_encode(params, corr_pos, compat, mask)
     normed_feat = feat / jnp.maximum(jnp.linalg.norm(feat, axis=-1, keepdims=True), 1e-12)
 
     # ---- Step 2: confidence + NMS seeds (`:175-226`) ----

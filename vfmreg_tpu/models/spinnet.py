@@ -241,12 +241,6 @@ def load_spinnet_state_dict(state_dict: Dict[str, np.ndarray], dim: int = 32) ->
         "conv2d": [],
     }
     # conv_net.ops: interleaved Conv/BN/ReLU modules; convs at known indices.
-    op_idx = 0
-    ops = {}
-    while f"conv_net.ops.{op_idx}.weight" in sd or f"conv_net.ops.{op_idx}.running_mean" in sd or op_idx < 40:
-        op_idx += 1
-        if op_idx > 64:
-            break
     # Gather conv and bn op indices in order.
     conv_ids = sorted(
         int(k.split(".")[2]) for k in sd if k.startswith("conv_net.ops.") and k.endswith(".weight") and sd[k].ndim >= 4
