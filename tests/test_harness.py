@@ -265,3 +265,19 @@ def test_batched_driver_retry_merge_matches_serial(tmp_path):
             b = results[False][kind][method]
             atol = 2e-3 if "ransac" in method else 1e-4
             np.testing.assert_allclose(a, b, atol=atol, rtol=1e-4, err_msg=method)
+
+
+def test_map_descriptor_cache_resets_per_scene(scene_h5):
+    """The per-method map-descriptor cache must reset at each scene's first
+    scan (reference `registration_node.py:876-877`) — without it, scene N+1's
+    baseline rows would match against scene N's cached map descriptors."""
+    node = RegistrationNode(
+        scene_h5,
+        methods_ransac=[],
+        methods_teaser=[],
+        methods_pointdsc=[],
+        batch_scans=False,
+    )
+    node.map_descriptor_cache["fpfh"] = ("stale-sentinel", None)
+    node.make_step()
+    assert node.map_descriptor_cache.get("fpfh", (None,))[0] != "stale-sentinel"

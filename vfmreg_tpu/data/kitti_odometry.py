@@ -90,6 +90,8 @@ class KittiOdometry:
         pcl_indices = np.flatnonzero(proj[2, :] > 0)
         p = proj[:, pcl_indices]
         u, v = p[:2, :] / p[2, :] / self.image_subsample
-        outlier = (u < 0) | (u > image.shape[1]) | (v < 0) | (v > image.shape[0])
+        # `>=`: the reference's `>` (`kitti_odometry.py:117-118`) admits
+        # u == width / v == height, which can only IndexError downstream.
+        outlier = (u < 0) | (u >= image.shape[1]) | (v < 0) | (v >= image.shape[0])
         pcl_indices = pcl_indices[~outlier]
         return u[~outlier].astype(int), v[~outlier].astype(int), pcl_indices

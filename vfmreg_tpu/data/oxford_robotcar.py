@@ -119,15 +119,21 @@ class OxfordRobotcar:
         images = {}
         for camera, filename in zip(self.cameras, filenames):
             if not use_cache:
-                image = self._read_one_image(camera, filename, frame_id, False)
+                images[camera] = np.array(self._read_one_image(camera, filename, frame_id, False))
             else:
                 try:
-                    image = self._read_one_image(camera, filename, frame_id, True)
+                    # np.array INSIDE the try: PIL decodes PNG pixels lazily,
+                    # so with image_subsample == 1 a truncated cache body only
+                    # surfaces at the array conversion, not at open().
+                    images[camera] = np.array(
+                        self._read_one_image(camera, filename, frame_id, True)
+                    )
                 except Exception:
                     # Corrupted cache entry: delete and retry once (`:144-153`).
                     self.img_undistorted_files[camera][frame_id].unlink()
-                    image = self._read_one_image(camera, filename, frame_id, True)
-            images[camera] = np.array(image)
+                    images[camera] = np.array(
+                        self._read_one_image(camera, filename, frame_id, True)
+                    )
         return images
 
     def read_pcl(self, frame_id: int = -1, filename: Optional[Path] = None) -> np.ndarray:
@@ -233,13 +239,18 @@ class OxfordRobotcar:
         pcl_ = self.calib[f"{camera}_in_ego"] @ pcl_
         pcl_ = np.linalg.solve(self.camera_model[camera].G_camera_image, pcl_)
 
-        in_front = np.flatnonzero(pcl_[2, :] >= 0)
+        # Strictly positive depth (the reference's `>= 0`, `oxford_robotcar.py:344`,
+        # lets z == 0 produce NaN pixel coords that pass every filter and
+        # crash/garbage-index the feature gather; z == 0 is measure-zero).
+        in_front = np.flatnonzero(pcl_[2, :] > 0)
         p = pcl_[:, in_front]
         f = self.camera_model[camera].focal_length
         c = self.camera_model[camera].principal_point
         u = (f[0] * p[0, :] / p[2, :] + c[0]) / self.image_subsample
         v = (f[1] * p[1, :] / p[2, :] + c[1]) / self.image_subsample
 
-        outlier = (u < 0) | (u > image.shape[1]) | (v < 0) | (v > image.shape[0])
+        # `>=`: the reference's `>` (`oxford_robotcar.py:356-357`) admits
+        # u == width / v == height, which can only IndexError downstream.
+        outlier = (u < 0) | (u >= image.shape[1]) | (v < 0) | (v >= image.shape[0])
         pcl_indices = in_front[~outlier]
         return u[~outlier].astype(int), v[~outlier].astype(int), pcl_indices

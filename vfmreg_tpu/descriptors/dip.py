@@ -63,12 +63,11 @@ def extract_dip_features(
 
     grid = build_hash_grid(jpts, LRF_KERNEL, mask=jmask, max_points_per_voxel=24)
     knn = radius_knn(grid, jpts, jmask, k=384, radius=LRF_KERNEL)
-    # Map grid indices back to input rows via the grid's stable hash sort.
-    from vfmreg_tpu.ops.voxel import INVALID_HASH, voxel_coords, voxel_hash
+    # Map grid indices back to input rows via the grid's stable hash sort
+    # (shared helper — the contract must match the grid build exactly).
+    from vfmreg_tpu.descriptors.fpfh import _grid_input_order
 
-    h = voxel_hash(voxel_coords(jpts, grid.voxel_size))
-    h = jnp.where(jmask, h, INVALID_HASH)
-    order = jnp.argsort(h, stable=True)
+    order = _grid_input_order(jpts, jmask, grid.voxel_size)
     nbr_idx = order[knn.idx]
 
     patches, _ = compute_lrf_patches(

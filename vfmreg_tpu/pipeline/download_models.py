@@ -127,6 +127,11 @@ def verify_loadable(dest: Path) -> None:
         target = dest / filename
         if not target.exists():
             continue
+        if name not in converters:
+            # Entries with no torch converter (the CLIP BPE vocab gz, the
+            # jit-archived ViT-B-16.pt) would crash torch.load/KeyError here.
+            print(f"[{name}] present (no converter check)")
+            continue
         sd = torch.load(target, map_location="cpu")
         if hasattr(sd, "items"):
             sd = {k: (v.numpy() if hasattr(v, "numpy") else v) for k, v in sd.items()}

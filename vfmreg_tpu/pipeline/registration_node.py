@@ -186,19 +186,21 @@ class RegistrationNode:
         self._hash_map_cache[with_descriptors] = (local_map, local_map.shape, m)
         return m
 
-    def _voxelize_scan(self, raw_scan: np.ndarray) -> np.ndarray:
-        """KISS double-downsample, 0.5 v then 1.0 v (`registration_node.py:289-290`)."""
+    def _double_voxelize(self, pc: np.ndarray) -> np.ndarray:
+        """KISS double-downsample, 0.5 v then 1.0 v, all columns preserved —
+        the ONE copy of the recipe (`registration_node.py:289-290`) shared by
+        the GT-ICP, vfm-correspondence, serial, and batched paths."""
         vs = self.config.mapping.voxel_size
-        down = voxel_down_sample(raw_scan[:, :3], vs * 0.5)
-        return voxel_down_sample(down, vs * 1.0)
+        return voxel_down_sample(voxel_down_sample(pc, vs * 0.5), vs * 1.0)
+
+    def _voxelize_scan(self, raw_scan: np.ndarray) -> np.ndarray:
+        return self._double_voxelize(raw_scan[:, :3])
 
     def compute_vfm_correspondences(
         self, voxel_map: np.ndarray, raw_scan: np.ndarray, initial_pose: np.ndarray = np.eye(4)
     ) -> Tuple[np.ndarray, np.ndarray]:
         """`compute_vfm_correspondences` (`registration_node.py:396-425`)."""
-        vs = self.config.mapping.voxel_size
-        downsample_scan = voxel_down_sample(raw_scan, vs * 0.5)
-        voxel_scan = voxel_down_sample(downsample_scan, vs * 1.0)
+        voxel_scan = self._double_voxelize(raw_scan)
 
         voxel_hash_map = self._map_hash(voxel_map, with_descriptors=True)
 
@@ -403,9 +405,7 @@ class RegistrationNode:
         dist: float = 3,
     ) -> np.ndarray:
         """`icp_registration` (`registration_node.py:359-394`)."""
-        vs = self.config.mapping.voxel_size
-        downsample_scan = voxel_down_sample(raw_scan, vs * 0.5)
-        voxel_scan = voxel_down_sample(downsample_scan, vs * 1.0)
+        voxel_scan = self._double_voxelize(raw_scan)
 
         voxel_hash_map = self._map_hash(voxel_map, with_descriptors=raw_scan.shape[1] > 3)
         print(
@@ -601,7 +601,6 @@ class RegistrationNode:
             batched_snap,
         )
 
-        vs = self.config.mapping.voxel_size
         sigma = self.config.adaptive_threshold.initial_threshold
 
         scans, poses = [], []
@@ -646,10 +645,7 @@ class RegistrationNode:
         retry: list = []
         corr_counts = ransac_raw = ransac_ortho = snap_mask = None
         if want_vfm:
-            voxel_desc = [
-                voxel_down_sample(voxel_down_sample(pc, vs * 0.5), vs * 1.0)
-                for pc in scans
-            ]
+            voxel_desc = [self._double_voxelize(pc) for pc in scans]
 
             def match(clouds):
                 xyz, mask = stack(clouds, 3)
@@ -861,6 +857,14 @@ class RegistrationNode:
             # All computed poses are relative to this initial guess (`:859-861`).
             point_cloud = transform_pcl(point_cloud, initial_pose)
 
+            # Per-method map-descriptor cache invalidation exactly like the
+            # reference (`registration_node.py:876-877`): fresh at each
+            # scene's first scan, and whenever the local map varies per scan
+            # (scan-to-scan modes, cluster removal) — without this, scene N+1
+            # would register against scene N's cached map descriptors.
+            if i == 0 or self.scan_to_scan is not None or self.cluster_removal_prob > 0:
+                self.map_descriptor_cache = {}
+
             print(f'{"--- RANSAC ---":-^80}')
             for method, run_icp in self.methods_ransac:
                 if self.scan_to_scan == "kitti" and method == "vfm":
@@ -1031,10 +1035,22 @@ def main():
     else:
         cluster_removal_probs = [(None, 0)]
 
+    # The cluster-removal experiment needs a PCA provider (the reference node
+    # always constructs its ImageFeatureGenerator, `registration_node.py:57`);
+    # run_pca is weight-free, so a default-weight generator suffices.
+    feature_generator = None
+    if any(prob > 0 for _, prob in cluster_removal_probs):
+        from vfmreg_tpu.models.image_features import ImageFeatureGenerator
+
+        feature_generator = ImageFeatureGenerator("dinov2")
+
     for mode_name, prob in cluster_removal_probs:
         mode_str = f"_{mode_name}" if mode_name is not None else ""
         data_dir = Path(args.folder)
-        node = RegistrationNode(data_dir, args.interactive, prob, None)
+        node = RegistrationNode(
+            data_dir, args.interactive, prob, None,
+            feature_generator=feature_generator,
+        )
         times = []
         while not node.stop_publishing:
             start = time()

@@ -30,22 +30,26 @@ def prefetch(iterable: Iterable[T], size: int = 2) -> Iterator[T]:
     stop = threading.Event()
 
     def worker():
+        def put_checked(obj) -> bool:
+            # Every put must poll `stop`: a blocking put on a full queue after
+            # the consumer left would strand this thread (and pin the queue +
+            # iterable) for the life of the process.
+            while not stop.is_set():
+                try:
+                    q.put(obj, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         try:
             for item in iterable:
-                while True:
-                    if stop.is_set():
-                        return
-                    try:
-                        q.put(item, timeout=0.1)
-                        break
-                    except queue.Full:
-                        continue
+                if not put_checked(item):
+                    return
         except BaseException as e:  # re-raised at the consumer
-            if not stop.is_set():
-                q.put((_SENTINEL, e))
+            put_checked((_SENTINEL, e))
             return
-        if not stop.is_set():
-            q.put((_SENTINEL, None))
+        put_checked((_SENTINEL, None))
 
     t = threading.Thread(target=worker, daemon=True, name="vfmreg-prefetch")
     t.start()
