@@ -178,7 +178,10 @@ def gedi_lrf_patches(
         replica = jax.random.randint(k2, (samples_per_patch_out,), 0, cnt)
         sel = jnp.where(pos < cnt, order[jnp.minimum(pos, nn.shape[0] - 1)], order[replica])
         local = ((nn - p) / r_lrf) @ lrf
-        return local[sel]
+        # Zero-neighbor patches (isolated keypoints; the reference CRASHES on
+        # these — `np.random.choice` from an empty ball) degrade to the
+        # all-center patch (rel = 0) instead of a repeated garbage slot.
+        return jnp.where(jnp.any(m), local[sel], 0.0)
 
     keys = jax.random.split(key, centers.shape[0])
     return jax.vmap(per_patch)(centers, nbr_pts, nbr_mask, keys)
