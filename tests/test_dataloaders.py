@@ -67,7 +67,8 @@ def test_kiss_kitti_dataset(tmp_path):
     out = ds[0]
     frame = out[0] if isinstance(out, tuple) else out
     assert frame.shape[1] == 3
-    assert hasattr(ds, "gt_poses") or True
+    assert hasattr(ds, "gt_poses")
+    assert len(ds.gt_poses) == 3 and ds.gt_poses[0].shape == (4, 4)
 
 
 def test_generic_dataset_ply(tmp_path):
@@ -229,9 +230,12 @@ def test_oxford_robotcar_loader(tmp_path):
     np.testing.assert_allclose(ds.gt_poses[0], np.eye(4), atol=1e-9)
     assert np.linalg.norm(ds.gt_poses[-1][:3, 3]) > 0.1
 
-    # Projection: a forward point lands in-bounds with a valid index.
+    # Projection: a point on the optical axis ahead of the camera must land
+    # in-bounds near the principal point with its index preserved.
     pcl_h = np.array([[0.0, 0.1, 5.0, 1.0]]).T
-    u, v, idx = ds.project_pcl_to_image(pcl_h, imgs["stereo/centre"], "stereo/centre")
-    assert idx.size >= 0  # may fall outside the cropped region; API contract only
+    img = imgs["stereo/centre"]
+    u, v, idx = ds.project_pcl_to_image(pcl_h, img, "stereo/centre")
+    assert idx.size == 1 and int(idx[0]) == 0, (u, v, idx)
+    assert 0 <= float(u[0]) < img.shape[1] and 0 <= float(v[0]) < img.shape[0]
     # Timestamp sync cache written.
     assert (tmp_path / f"{seq}-radar-oxford-10k" / "stereo_2.timestamps").exists()

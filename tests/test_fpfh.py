@@ -62,11 +62,13 @@ def test_fpfh_distinguishes_geometry(rng):
     # Flat-floor points vs sphere points should have clearly different descriptors.
     floor_idx = np.flatnonzero((np.abs(out_pts[:, 2]) < 0.05) & (out_pts[:, 1] > 0.5))
     sphere_idx = np.flatnonzero(np.linalg.norm(out_pts - [2, 2, 1], axis=1) < 1.2)
-    if len(floor_idx) > 10 and len(sphere_idx) > 10:
-        f_floor = feats[floor_idx].mean(0)
-        f_sphere = feats[sphere_idx].mean(0)
-        cos = f_floor @ f_sphere / (np.linalg.norm(f_floor) * np.linalg.norm(f_sphere))
-        assert cos < 0.95
+    # The fixture must actually produce both populations — a silent no-op
+    # here would leave the discrimination claim untested.
+    assert len(floor_idx) > 10 and len(sphere_idx) > 10, (len(floor_idx), len(sphere_idx))
+    f_floor = feats[floor_idx].mean(0)
+    f_sphere = feats[sphere_idx].mean(0)
+    cos = f_floor @ f_sphere / (np.linalg.norm(f_floor) * np.linalg.norm(f_sphere))
+    assert cos < 0.9, cos
 
 
 def test_fpfh_registration_end_to_end(rng):

@@ -79,10 +79,25 @@ def test_registration_node_end_to_end(scene_h5, capsys):
     assert "Rotation error" in out
 
 
-def test_batched_driver_no_vfm_skips_vfm_stages(scene_h5, capsys):
+def test_batched_driver_no_vfm_skips_vfm_stages(scene_h5, capsys, monkeypatch):
     """A method matrix without the vfm row must not pay the descriptor-map
     grid build / matching / 50k-hypothesis RANSAC in the batched precompute —
     and the rows it does produce must match the serial path exactly."""
+    import vfmreg_tpu.ops.matching as matching_mod
+    import vfmreg_tpu.parallel.mesh as mesh_mod
+
+    calls = {"match": 0, "ransac": 0}
+    orig_match = matching_mod.get_vfm_correspondences_batched
+    orig_ransac = mesh_mod.batched_ransac
+
+    def counting_match(*a, **k):
+        calls["match"] += 1
+        return orig_match(*a, **k)
+
+    def counting_ransac(*a, **k):
+        calls["ransac"] += 1
+        return orig_ransac(*a, **k)
+
     errs = {}
     for batch in (True, False):
         node = RegistrationNode(
@@ -92,13 +107,28 @@ def test_batched_driver_no_vfm_skips_vfm_stages(scene_h5, capsys):
             methods_pointdsc=[],
             batch_scans=batch,
         )
+        if batch:
+            monkeypatch.setattr(matching_mod, "get_vfm_correspondences_batched", counting_match)
+            monkeypatch.setattr(mesh_mod, "batched_ransac", counting_ransac)
+            orig_map_hash = node._map_hash
+            built = []
+
+            def spying_map_hash(lm, with_descriptors=False):
+                built.append(with_descriptors)
+                return orig_map_hash(lm, with_descriptors=with_descriptors)
+
+            node._map_hash = spying_map_hash
         node.make_step()
+        if batch:
+            monkeypatch.undo()
+            # BIND the skip: neither the batched matcher, the batched RANSAC,
+            # nor the with-descriptors map build may run for a vfm-free matrix.
+            assert calls == {"match": 0, "ransac": 0}, calls
+            assert True not in built, built
         assert len(node.trans_errors["icp"]) == 2
         assert "vfm_ransac_icp" not in node.trans_errors
         errs[batch] = (node.trans_errors["icp"], node.rot_errors["icp"])
         if batch:
-            # The with-descriptors hash map was never built or cached (it is
-            # cleared per scene; the 3D-only entry is the only one that ran).
             out = capsys.readouterr().out
             assert "(batched)" in out
     np.testing.assert_array_equal(errs[True][0], errs[False][0])

@@ -90,7 +90,11 @@ def test_build_with_masked_points(rng):
     mask = np.zeros(100, dtype=bool)
     mask[:30] = True
     grid = build_hash_grid(jnp.asarray(pts), 1.0, mask=jnp.asarray(mask))
-    assert int(grid.num_points) <= 30
+    assert int(grid.num_points) == 30  # every valid point stored, no others
+    # Positive: a query at a VALID point is found at distance ~0.
+    tgt, d2, found = nearest_neighbors(grid, jnp.asarray(pts[0][None]))
+    assert bool(found[0]) and float(d2[0]) < 1e-10
+    np.testing.assert_allclose(np.asarray(tgt[0]), pts[0], atol=1e-6)
     # Query near a masked-out point far from all valid points: not found
     q = pts[99] + 100.0
     _, _, found = nearest_neighbors(grid, jnp.asarray(q[None]))

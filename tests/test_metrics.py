@@ -70,3 +70,23 @@ def test_ate_detects_noise(rng):
         est.append(T)
     _, ate_trans = metrics.absolute_trajectory_error(gt, est)
     assert 0.2 < ate_trans < 1.0
+
+
+def test_errors_with_nonidentity_gt():
+    """Non-degenerate gt (rotation AND translation): an implementation that
+    ignores gt_pose, or composes the relative pose in the wrong frame, cannot
+    pass these."""
+    gt = np.eye(4)
+    gt[:3, :3] = R.from_euler("zyx", [30, -10, 5], degrees=True).as_matrix()
+    gt[:3, 3] = [2.0, -7.0, 1.5]
+    # pose = gt composed with a known extra rotation/translation
+    extra_R = R.from_euler("y", 4.0, degrees=True).as_matrix()
+    pose = gt.copy()
+    pose[:3, :3] = gt[:3, :3] @ extra_R
+    assert abs(metrics.rotation_error_deg(pose, gt) - 4.0) < 1e-6
+    assert metrics.translation_error(pose, gt) < 1e-9
+
+    pose2 = gt.copy()
+    pose2[:3, 3] = gt[:3, 3] + np.array([1.0, 2.0, 2.0])
+    assert abs(metrics.translation_error(pose2, gt) - 3.0) < 1e-9
+    assert metrics.rotation_error_deg(pose2, gt) < 1e-6

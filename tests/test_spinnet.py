@@ -32,6 +32,20 @@ def test_var_to_invar_rotation_alignment(rng):
     # bin 0 unrotated
     np.testing.assert_allclose(out.reshape(1, RAD, ELE, AZI, 5, 3)[0, 0, 0, 0],
                                pts.reshape(1, RAD, ELE, AZI, 5, 3)[0, 0, 0, 0], atol=1e-6)
+    # The property itself (binds every bin, not just the identity bin 0):
+    # rotate the cloud about z by one azimuth step and shift bin assignment by
+    # one — the canonicalized per-bin coords must be IDENTICAL, rolled.
+    step = 2.0 * np.pi / AZI
+    c, s = np.cos(step), np.sin(step)
+    Rz = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], dtype=np.float32)
+    binned = pts.reshape(1, RAD, ELE, AZI, 5, 3)
+    rolled = np.roll(binned @ Rz.T, shift=1, axis=3)
+    out2 = np.asarray(
+        var_to_invar(jnp.asarray(rolled.reshape(pts.shape)), RAD, AZI, ELE)
+    ).reshape(1, RAD, ELE, AZI, 5, 3)
+    np.testing.assert_allclose(
+        out2, np.roll(out.reshape(1, RAD, ELE, AZI, 5, 3), shift=1, axis=3), atol=1e-4
+    )
 
 
 def _forward(params, patches, grid):

@@ -42,10 +42,11 @@ def test_teaser_robust_to_half_outliers(rng):
     )
     te, re = _pose_errors(np.asarray(res.pose), T)
     assert te < 0.5 and re < 3.0
-    # The selected clique should be mostly true inliers.
+    # The selected clique must be NON-EMPTY and mostly true inliers (an empty
+    # clique would mean the selection broke while GNC limped to a pose).
     clique = np.asarray(res.inlier_mask)
-    if clique.sum() > 0:
-        assert (inlier[clique].mean()) > 0.8
+    assert clique.sum() > 0
+    assert (inlier[clique].mean()) > 0.8
 
 
 def test_teaser_respects_mask(rng):

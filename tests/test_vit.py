@@ -128,9 +128,17 @@ def test_feature_cache_roundtrip(tmp_path, rng):
     img = (rng.uniform(0, 255, (56, 56, 3))).astype(np.uint8)
     cache = tmp_path / "img0.npy"
     f1 = gen.get_image_features(img, upsample=False, cache_file=cache)
-    assert (tmp_path / "img0_False_False.npy").exists()
+    cache_path = tmp_path / "img0_False_False.npy"
+    assert cache_path.exists()
     f2 = gen.get_image_features(img, upsample=False, cache_file=cache)
     np.testing.assert_array_equal(f1, f2)
+    # Bind the READ path: replace the cached array with a sentinel — the next
+    # call must return the sentinel, not silently recompute (a deterministic
+    # forward makes recompute == cache, so equality alone proves nothing).
+    sentinel = np.full_like(np.asarray(f1), 7.25)
+    np.save(cache_path, sentinel)
+    f3 = gen.get_image_features(img, upsample=False, cache_file=cache)
+    np.testing.assert_array_equal(np.asarray(f3), sentinel)
 
 
 def test_pca_to_rgb(rng):

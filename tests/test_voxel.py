@@ -80,8 +80,10 @@ def test_range_crop(rng):
 def test_correct_kitti_scan():
     pts = jnp.asarray([[10.0, 0.0, 0.0]], dtype=jnp.float32)
     out = np.asarray(voxel.correct_kitti_scan(pts))
-    # Rotating x-axis point about (x cross z) = -y axis by +0.205deg lifts z
-    assert out[0, 2] > 0
+    # Rotating x-axis point about (x cross z) = -y axis by +0.205 DEG lifts z
+    # by exactly 10*sin(0.205deg) — pins the magnitude and unit (a deg/rad
+    # slip or factor-10 error would still pass a sign-only check).
+    np.testing.assert_allclose(out[0, 2], 10.0 * np.sin(np.deg2rad(0.205)), rtol=1e-4)
     np.testing.assert_allclose(np.linalg.norm(out), 10.0, rtol=1e-5)
 
 
