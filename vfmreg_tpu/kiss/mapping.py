@@ -352,26 +352,48 @@ class VoxelHashMap:
         return np.c_[np.asarray(grid.points)[valid], np.asarray(grid.feats)[valid]]
 
     def get_correspondences(
-        self, points: np.ndarray, max_correspondance_distance: float
+        self, points: np.ndarray, max_correspondance_distance: float, xd: bool = False
     ) -> Tuple[np.ndarray, np.ndarray]:
         """27-voxel NN pairs within max distance (`GetCorrespondences`).
 
-        Accepts [N,3] or [N,3+D] queries; like the reference Nd/Xd overloads the
-        descriptors ride along in the returned source rows but do not influence
-        the search (`VoxelHashMap.cpp:172-319`, cosine weighting disabled).
+        Accepts [N,3] or [N,3+D] queries. Like the reference's Nd overload,
+        descriptors ride along in the returned source rows but do NOT influence
+        the search by default (`VoxelHashMap.cpp:172-319` — the Nd weighting is
+        disabled, `:246` `if (n_features > 0 && false)`). Pass `xd=True` for
+        the XD overload's semantics (`VoxelHashMap.cpp:320-455`), where champion
+        selection is LIVE-weighted by `clamp(0.5*(1-cos), 0.01, 1.0)` when both
+        sides carry nonzero descriptors; acceptance stays plain Euclidean. The
+        reference picks Nd-vs-XD by the compile-time descriptor size
+        (`mapping.py:109`); here it is an explicit flag.
         """
         if self._pending:
             self._flush_pending()
         import jax.numpy as jnp
 
         pts = np.asarray(points)
-        xyz, _ = self._split(pts)
+        xyz, feats = self._split(pts)
+        grid = self.device_grid()
         n = bucket_size(max(xyz.shape[0], 1))
         q = np.zeros((n, 3), dtype=np.float32)
         q[: xyz.shape[0]] = xyz
         qmask = np.zeros((n,), dtype=bool)
         qmask[: xyz.shape[0]] = True
-        nbr, dist, found = nearest_neighbors(self.device_grid(), jnp.asarray(q), jnp.asarray(qmask))
+        use_weighted = (
+            xd
+            and feats is not None
+            and grid.feats is not None
+            and grid.feats.shape[1] == feats.shape[1]
+        )
+        if use_weighted:
+            from vfmreg_tpu.ops.hash_grid import nearest_neighbors_xd
+
+            qf = np.zeros((n, feats.shape[1]), dtype=np.float32)
+            qf[: xyz.shape[0]] = feats
+            nbr, dist, found = nearest_neighbors_xd(
+                grid, jnp.asarray(q), jnp.asarray(qf), jnp.asarray(qmask)
+            )
+        else:
+            nbr, dist, found = nearest_neighbors(grid, jnp.asarray(q), jnp.asarray(qmask))
         accept = np.asarray(found) & (np.asarray(dist) < max_correspondance_distance)
         accept = accept[: xyz.shape[0]]
         return pts[accept], np.asarray(nbr)[: xyz.shape[0]][accept]

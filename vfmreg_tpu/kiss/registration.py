@@ -2,11 +2,25 @@
 
 Mirrors `kiss_icp/registration.py:28-73`:
   * [N, 3]         -> plain geometric ICP (`Registration.cpp:145-195`);
-  * [N, 3+D] with D matching the map's descriptors -> VFM-ICP
+  * [N, 3+D] with D == the VFM descriptor size -> VFM-ICP
     (`Registration.cpp:197-382`), optionally returning the correspondence pair
     when `src_`/`tgt_` sentinels are passed;
-  * [N, >3] otherwise -> XD path, identical to 3D on coordinates
-    (`Registration.cpp:384-422`, descriptor weighting disabled in the reference).
+  * [N, >3] otherwise -> XD path (`Registration.cpp:384-422`): the same GN
+    loop on coordinates, but when the map stores same-dimension descriptors,
+    nearest-neighbor champion selection uses the reference's ACTIVE
+    cosine-weighted metric — squared distance times
+    `clamp(0.5*(1-cos), 0.01, 1.0)` when both sides carry nonzero descriptors
+    (`VoxelHashMap.cpp:370-384`; only the cosine accept-GATE at `:425-433` is
+    commented out there). NOTE the asymmetry in the reference: the fixed-size
+    Nd/VFM path's weighting is disabled (`VoxelHashMap.cpp:246`,
+    `if (n_features > 0 && false)`), the XD path's is live.
+
+The reference picks Nd-vs-XD by the compile-time `DESCRIPTOR_SIZE`
+(`DescriptorSize.hpp:7`, via `_point_size()` at `registration.py:37`); here the
+descriptor dim is a runtime parameter, so by default any [N, 3+D] whose D
+matches the map's descriptor dim routes to VFM. Pass
+`vfm_descriptor_size=384` for reference-exact dispatch (then a matching-D
+cloud with D != 384 takes the weighted XD path, as it would upstream).
 """
 
 from __future__ import annotations
@@ -18,11 +32,12 @@ import numpy as np
 from vfmreg_tpu.kiss.mapping import VoxelHashMap
 from vfmreg_tpu.kiss.voxelization import voxel_down_sample
 from vfmreg_tpu.ops.voxel import bucket_size
-from vfmreg_tpu.registration.icp import register_frame_icp
+from vfmreg_tpu.registration.icp import register_frame_icp, register_frame_icp_xd
 from vfmreg_tpu.registration.vfm_icp import register_frame_vfm
 
 VFM_SOURCE_VOXEL = 5.0  # Registration.cpp:217
 VFM_MIN_SOURCE_POINTS = 100  # Registration.cpp:218
+DESCRIPTOR_SIZE = 384  # reference compile-time VFM dim (DescriptorSize.hpp:7)
 
 
 def _pad(points: np.ndarray):
@@ -44,6 +59,7 @@ def register_frame(
     kernel: float,
     src_: Optional[np.ndarray] = None,
     tgt_: Optional[np.ndarray] = None,
+    vfm_descriptor_size: Optional[int] = None,
 ):
     import jax.numpy as jnp
 
@@ -60,19 +76,41 @@ def register_frame(
 
     grid = voxel_map.device_grid()
     descriptor_dim = 0 if grid.feats is None else grid.feats.shape[1]
-    is_vfm = points.shape[1] == 3 + descriptor_dim and descriptor_dim > 0
+    D = points.shape[1] - 3
+    is_vfm = D == descriptor_dim and D > 0
+    if vfm_descriptor_size is not None:
+        # Reference-exact dispatch: only the compile-time VFM dim routes Nd
+        # (`registration.py:37`, `_point_size()`); everything else is XD.
+        is_vfm = is_vfm and D == vfm_descriptor_size
 
     if not is_vfm:
-        # 3D / XD path: coordinates only.
         xyz, mask = _pad(np.ascontiguousarray(points[:, :3], dtype=np.float32))
-        pose = register_frame_icp(
-            grid,
-            xyz,
-            mask,
-            jnp.asarray(initial_guess, dtype=jnp.float32),
-            max_correspondance_distance,
-            kernel,
-        )
+        guess = jnp.asarray(initial_guess, dtype=jnp.float32)
+        if D > 0 and D == descriptor_dim:
+            # XD path with the reference's live cosine-weighted NN metric
+            # (`Registration.cpp:384-422`, `VoxelHashMap.cpp:370-384`).
+            fpad = np.zeros((xyz.shape[0], D), dtype=np.float32)
+            fpad[: points.shape[0]] = points[:, 3:]
+            pose = register_frame_icp_xd(
+                grid,
+                xyz,
+                jnp.asarray(fpad),
+                mask,
+                guess,
+                max_correspondance_distance,
+                kernel,
+            )
+        else:
+            # 3D path — or XD whose dim the map cannot weight (the map stores
+            # no / different-dim descriptors; weight degenerates to 1.0).
+            pose = register_frame_icp(
+                grid,
+                xyz,
+                mask,
+                guess,
+                max_correspondance_distance,
+                kernel,
+            )
         return np.asarray(pose, dtype=np.float64)
 
     # ---------------------------------------------------------------- VFM path

@@ -556,6 +556,194 @@ def nn_from_cache(
     return best_pt, jnp.sqrt(jnp.where(found, best_d2, inf)), found
 
 
+def candidate_weights(
+    cands: Candidates,
+    grid_feats: jnp.ndarray,  # [M, D]
+    qfeats: jnp.ndarray,  # [N, D]
+    eps: float = 1e-5,
+) -> jnp.ndarray:
+    """Per-candidate XD distance weights, `clamp(0.5*(1-cos), 0.01, 1.0)`.
+
+    Mirrors the reference's *XD* `GetClosestNeighbor`
+    (`VoxelHashMap.cpp:360-384`): when BOTH the query and the candidate carry
+    a nonzero descriptor sum, the squared Euclidean distance used for champion
+    selection is multiplied by `clamp(0.5*(1-cos), 0.01, 1.0)` with
+    `cos = <n, q> / (|n| |q| + 1e-5)`; either side descriptor-less means
+    weight 1.0 (plain Euclidean). Note this weighting is LIVE in the XD path
+    but disabled in the fixed-size Nd/VFM path (`VoxelHashMap.cpp:246`,
+    `if (n_features > 0 && false)`).
+
+    The weight depends only on candidate identity, not on the query position,
+    so the ICP loops compute it ONCE per slab-gather epoch and reuse it across
+    GN iterations. Memory is bounded by chunking the descriptor gather over
+    the 27 neighbor voxels (peak [N, S*32, D]).
+
+    Returns [N, 27*S*32] f32 weights aligned with the flattened candidate axis.
+    """
+    n, v, S, _ = cands.slabs.shape
+    rows = cands.rowids().astype(jnp.int32)  # [N, 27, S*32]; dead lanes huge
+    M = grid_feats.shape[0]
+    rows_c = jnp.clip(rows, 0, M - 1)
+    qfeats = qfeats.astype(jnp.float32)
+    q_has = jnp.sum(qfeats, axis=-1) != 0.0  # [N] (sum, not norm: cpp :367)
+    qn = jnp.linalg.norm(qfeats, axis=-1)  # [N]
+
+    def per_voxel(r):  # r: [N, S*32] candidate rows of ONE neighbor voxel
+        f = grid_feats[r]  # [N, S*32, D]
+        dot = jnp.einsum("nkd,nd->nk", f, qfeats)
+        fn = jnp.linalg.norm(f, axis=-1)
+        fsum = jnp.sum(f, axis=-1)
+        cos = dot / (fn * qn[:, None] + eps)
+        w = jnp.clip(0.5 * (1.0 - cos), 0.01, 1.0)
+        both = q_has[:, None] & (fsum != 0.0)
+        return jnp.where(both, w, 1.0)
+
+    w = jax.lax.map(per_voxel, jnp.swapaxes(rows_c, 0, 1))  # [27, N, S*32]
+    return jnp.swapaxes(w, 0, 1).reshape(n, v * S * 32)
+
+
+class WeightedNNCache(NamedTuple):
+    """Champion cache for the XD weighted metric (see `candidate_weights`).
+
+    Same per-voxel-champion scheme as `NNCache`, but champions minimize the
+    WEIGHTED squared distance `d2 * w`, and each champion carries its weight
+    (`cw`) so the cross-voxel resolve between refreshes stays in the weighted
+    metric. Acceptance remains plain Euclidean (`VoxelHashMap.cpp:425-433`,
+    only the cosine accept-gate is commented out there)."""
+
+    cx: jnp.ndarray  # [32, N] f32 (27 champions + sentinel pad)
+    cy: jnp.ndarray
+    cz: jnp.ndarray
+    cw: jnp.ndarray  # [32, N] f32 champion weights (1.0 pad)
+
+
+def build_weighted_nn_cache(
+    cands: Candidates,
+    weights: jnp.ndarray,  # [N, 27*S*32] from candidate_weights
+    queries: jnp.ndarray,
+    query_mask: Optional[jnp.ndarray] = None,
+) -> WeightedNNCache:
+    """Per-voxel champions under the weighted metric (XD path)."""
+    from vfmreg_tpu.ops.nn_kernel import INVALID_COORD
+
+    n = cands.slabs.shape[0]
+    if query_mask is None:
+        query_mask = jnp.ones((n,), dtype=bool)
+
+    xs, ys, zs = cands.coords()  # [N, 27, S*32]
+    dx = xs - queries[:, None, 0:1]
+    dy = ys - queries[:, None, 1:2]
+    dz = zs - queries[:, None, 2:3]
+    d2 = dx * dx + dy * dy + dz * dz  # sentinels overflow to +inf
+    w = weights.reshape(d2.shape)
+    wd2 = d2 * w  # inf * [0.01, 1] stays inf
+
+    lanes = wd2.shape[-1]
+    best = jnp.min(wd2, axis=-1)  # [N, 27]
+    iota = jnp.arange(lanes, dtype=jnp.int32)
+    ksel = jnp.min(
+        jnp.where(wd2 == best[..., None], iota, jnp.int32(2**30)), axis=-1
+    )
+    onehot = iota[None, None, :] == ksel[..., None]
+    bx = jnp.sum(jnp.where(onehot, xs, 0.0), axis=-1)
+    by = jnp.sum(jnp.where(onehot, ys, 0.0), axis=-1)
+    bz = jnp.sum(jnp.where(onehot, zs, 0.0), axis=-1)
+    bw = jnp.sum(jnp.where(onehot, w, 0.0), axis=-1)
+
+    alive = jnp.isfinite(best) & query_mask[:, None]
+    bad = jnp.float32(INVALID_COORD)
+    pad = jnp.full((32 - 27, n), bad)
+    wpad = jnp.ones((32 - 27, n), dtype=jnp.float32)
+    return WeightedNNCache(
+        cx=jnp.concatenate([jnp.where(alive, bx, bad).T, pad], axis=0),
+        cy=jnp.concatenate([jnp.where(alive, by, bad).T, pad], axis=0),
+        cz=jnp.concatenate([jnp.where(alive, bz, bad).T, pad], axis=0),
+        cw=jnp.concatenate([jnp.where(alive, bw, 1.0).T, wpad], axis=0),
+    )
+
+
+def nn_from_weighted_cache(
+    cache: WeightedNNCache,
+    queries: jnp.ndarray,
+    query_mask: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Weighted-metric champion resolve; returns the champion's plain
+    EUCLIDEAN distance for the acceptance gate (`VoxelHashMap.cpp:425-433`)."""
+    n = queries.shape[0]
+    if query_mask is None:
+        query_mask = jnp.ones((n,), dtype=bool)
+    qx, qy, qz = queries[:, 0], queries[:, 1], queries[:, 2]
+    d2 = (
+        (cache.cx - qx[None, :]) ** 2
+        + (cache.cy - qy[None, :]) ** 2
+        + (cache.cz - qz[None, :]) ** 2
+    )
+    wd2 = d2 * cache.cw
+    best = jnp.min(wd2, axis=0)
+    iota = jnp.arange(wd2.shape[0], dtype=jnp.int32)[:, None]
+    best_k = jnp.min(jnp.where(wd2 == best[None, :], iota, jnp.int32(2**30)), axis=0)
+    onehot = jnp.arange(cache.cx.shape[0], dtype=jnp.int32)[:, None] == best_k[None, :]
+    best_pt = jnp.stack(
+        [
+            jnp.sum(jnp.where(onehot, cache.cx, 0.0), axis=0),
+            jnp.sum(jnp.where(onehot, cache.cy, 0.0), axis=0),
+            jnp.sum(jnp.where(onehot, cache.cz, 0.0), axis=0),
+        ],
+        axis=1,
+    )
+    d2_eucl = jnp.sum(jnp.where(onehot, d2, 0.0), axis=0)
+    found = jnp.isfinite(best) & query_mask
+    best_pt = jnp.where(found[:, None], best_pt, 0.0)
+    inf = jnp.float32(jnp.inf)
+    return best_pt, jnp.sqrt(jnp.where(found, d2_eucl, inf)), found
+
+
+def nearest_neighbors_xd(
+    grid: HashGrid,
+    queries: jnp.ndarray,  # [N, 3]
+    qfeats: jnp.ndarray,  # [N, D] (D == grid descriptor dim)
+    query_mask: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Exact XD weighted NN over the full 27-voxel candidate set.
+
+    Behavioral clone of the XD `GetClosestNeighbor` (`VoxelHashMap.cpp:360-404`):
+    champion = argmin of `d2 * clamp(0.5*(1-cos), 0.01, 1.0)`; the returned
+    distance is the champion's plain EUCLIDEAN distance (the caller's
+    acceptance gate, `:425-433`).
+    """
+    n = queries.shape[0]
+    if query_mask is None:
+        query_mask = jnp.ones((n,), dtype=bool)
+    cands = gather_candidate_slabs(grid, queries, query_mask)
+    w = candidate_weights(cands, grid.feats, qfeats)  # [N, K]
+    xs, ys, zs = cands.coords()
+    xs = xs.reshape(n, -1)
+    ys = ys.reshape(n, -1)
+    zs = zs.reshape(n, -1)
+    dx = xs - queries[:, 0:1]
+    dy = ys - queries[:, 1:2]
+    dz = zs - queries[:, 2:3]
+    d2 = dx * dx + dy * dy + dz * dz
+    wd2 = d2 * w
+    best = jnp.min(wd2, axis=-1)
+    iota = jnp.arange(wd2.shape[-1], dtype=jnp.int32)[None, :]
+    k = jnp.min(jnp.where(wd2 == best[:, None], iota, jnp.int32(2**30)), axis=-1)
+    onehot = iota == k[:, None]
+    best_pt = jnp.stack(
+        [
+            jnp.sum(jnp.where(onehot, xs, 0.0), axis=-1),
+            jnp.sum(jnp.where(onehot, ys, 0.0), axis=-1),
+            jnp.sum(jnp.where(onehot, zs, 0.0), axis=-1),
+        ],
+        axis=1,
+    )
+    d2_eucl = jnp.sum(jnp.where(onehot, d2, 0.0), axis=-1)
+    found = jnp.isfinite(best) & query_mask
+    best_pt = jnp.where(found[:, None], best_pt, 0.0)
+    inf = jnp.float32(jnp.inf)
+    return best_pt, jnp.sqrt(jnp.where(found, d2_eucl, inf)), found
+
+
 def gather_candidates(
     grid: HashGrid, queries: jnp.ndarray, query_mask: Optional[jnp.ndarray] = None
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:

@@ -34,8 +34,11 @@ from vfmreg_tpu.utils.precision import full_precision
 from vfmreg_tpu.ops.hash_grid import (
     HashGrid,
     build_nn_cache,
+    build_weighted_nn_cache,
+    candidate_weights,
     gather_candidate_slabs,
     nn_from_cache,
+    nn_from_weighted_cache,
 )
 
 MAX_NUM_ITERATIONS = 1000  # Registration.cpp:92
@@ -121,8 +124,17 @@ def geometric_icp_loop(
     estimation_threshold: float,
     it0,
     refresh_interval: int = REFRESH_INTERVAL,
+    qfeats=None,
 ):
-    """Shared geometric GN loop (used by plain ICP and VFM-ICP phase 2).
+    """Shared geometric GN loop (used by plain ICP, VFM-ICP phase 2, and —
+    with `qfeats` — the XD descriptor-weighted path).
+
+    When `qfeats` [N, D] is given (D == the grid's descriptor dim), champion
+    selection uses the reference's ACTIVE XD metric: squared distance scaled by
+    `clamp(0.5*(1-cos), 0.01, 1.0)` when both sides carry nonzero descriptors
+    (`VoxelHashMap.cpp:370-384`); acceptance stays plain Euclidean. The weights
+    depend only on candidate identity, so they are computed once per slab-gather
+    epoch and reused across GN iterations.
 
     Three nested `while_loop`s: the OUTER loop gathers the 27-voxel slab
     candidates (the expensive HBM gather, once per motion epoch); the MIDDLE
@@ -155,7 +167,8 @@ def geometric_icp_loop(
     d2_from_center = jnp.sum(jnp.square(source0 - center), axis=-1)
     r_max = jnp.sqrt(jnp.max(jnp.where(mask, d2_from_center, 0.0)))
     slack = 0.5 * grid.voxel_size
-    use_fused = jax.default_backend() == "tpu"
+    weighted = qfeats is not None
+    use_fused = jax.default_backend() == "tpu" and not weighted
 
     def body(state: _ICPState) -> _ICPState:
         # One slab GATHER per epoch (the HBM-gather is the expensive part);
@@ -165,6 +178,8 @@ def geometric_icp_loop(
         # point that stays in its gather-time voxel sees the IDENTICAL
         # 27-bucket candidate set a fresh gather would return).
         cands = gather_candidate_slabs(grid, state.source, mask)
+        # XD metric weights depend only on candidate identity — once per epoch.
+        cand_w = candidate_weights(cands, grid.feats, qfeats) if weighted else None
 
         def mid_cond(carry):
             source, T_icp, dx_norm, it, done, confirmed, moved_g = carry
@@ -174,7 +189,10 @@ def geometric_icp_loop(
 
         def mid_body(carry):
             source0_m, T0, dxn0, it0m, done0, conf0, moved_g0 = carry
-            cache = build_nn_cache(cands, source0_m, mask)
+            if weighted:
+                cache = build_weighted_nn_cache(cands, cand_w, source0_m, mask)
+            else:
+                cache = build_nn_cache(cands, source0_m, mask)
 
             def inner_cond(c):
                 source, T_icp, dx_norm, it, done, confirmed, moved_g, s = c
@@ -204,7 +222,10 @@ def geometric_icp_loop(
                     )
                     JTJ, JTr, n_corr = assemble_gn_system(m)
                 else:
-                    nbr, dist, found = nn_from_cache(cache, grid.points, source, mask)
+                    if weighted:
+                        nbr, dist, found = nn_from_weighted_cache(cache, source, mask)
+                    else:
+                        nbr, dist, found = nn_from_cache(cache, grid.points, source, mask)
                     accept = found & (dist < max_dist)
                     JTJ, JTr, n_corr = build_linear_system(
                         source, nbr, accept, kernel, center
@@ -296,5 +317,65 @@ def register_frame_icp(
         estimation_threshold,
         it0=0,
         refresh_interval=refresh_interval,
+    )
+    return final.T_icp @ initial_guess
+
+
+@partial(jax.jit, static_argnames=("max_iterations", "refresh_interval"))
+@full_precision
+def register_frame_icp_xd(
+    grid: HashGrid,
+    points: jnp.ndarray,
+    feats: jnp.ndarray,
+    mask: jnp.ndarray,
+    initial_guess: jnp.ndarray,
+    max_correspondence_distance,
+    kernel,
+    max_iterations: int = MAX_NUM_ITERATIONS,
+    estimation_threshold: float = ESTIMATION_THRESHOLD,
+    refresh_interval: int = REFRESH_INTERVAL,
+) -> jnp.ndarray:
+    """KISS-ICP `RegisterFrame` for XD points (`Registration.cpp:384-422`).
+
+    Identical GN loop to the 3D path, but nearest-neighbor champion selection
+    uses the reference's ACTIVE descriptor-weighted metric
+    (`VoxelHashMap.cpp:370-384`): squared distance times
+    `clamp(0.5*(1-cos), 0.01, 1.0)` when both the query and the candidate carry
+    nonzero descriptor sums. Acceptance and the GN residuals stay purely
+    geometric (the cosine accept-gate at `:425-433` is commented out in the
+    reference). Live in the reference's descriptor-odometry mode
+    (`ros/ros1/OdometryServer.cpp`, v2 `use_descriptors_=true`).
+
+    Args:
+      grid: device voxel hash map WITH descriptors (grid.feats [M, D]).
+      points: [N, 3] padded source coordinates.
+      feats: [N, D] padded source descriptors (D == grid descriptor dim).
+      mask: [N] validity of the padding.
+      initial_guess: [4, 4].
+    Returns:
+      [4, 4] final pose (T_icp @ initial_guess).
+    """
+    points = points.astype(jnp.float32)
+    initial_guess = initial_guess.astype(jnp.float32)
+    source0 = transform_points(points, initial_guess)
+    denom = jnp.maximum(jnp.sum(mask), 1)
+    center = jnp.sum(jnp.where(mask[:, None], source0, 0.0), axis=0) / denom
+
+    kernel = jnp.asarray(kernel, dtype=jnp.float32)
+    max_dist = jnp.asarray(max_correspondence_distance, dtype=jnp.float32)
+
+    final = geometric_icp_loop(
+        grid,
+        source0,
+        mask,
+        jnp.eye(4, dtype=jnp.float32),
+        center,
+        max_dist,
+        kernel,
+        max_iterations,
+        estimation_threshold,
+        it0=0,
+        refresh_interval=refresh_interval,
+        qfeats=feats.astype(jnp.float32),
     )
     return final.T_icp @ initial_guess
