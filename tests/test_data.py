@@ -226,3 +226,49 @@ def test_prepare_scene_nclt(mini_nclt, tmp_path):
     # Some points got nonzero descriptors
     desc = loaded["map_point_clouds"][0][:, 3:]
     assert (np.abs(desc).sum(axis=1) > 0).any()
+
+
+@pytest.mark.slow
+def test_prepare_scene_maskclip_512d(mini_nclt, tmp_path):
+    """512-d MaskCLIP flow end-to-end: prepare_scenes with the maskclip
+    generator (patch 16, embed 512 — `image_features.py:44-51`) -> scene H5 ->
+    read-back with 3+512 columns intact."""
+    from vfmreg_tpu.data.h5io import read_scenes
+    from vfmreg_tpu.models.image_features import ImageFeatureGenerator
+    from vfmreg_tpu.models.maskclip import MaskCLIPConfig
+    from vfmreg_tpu.pipeline.prepare_scenes import prepare_scene
+
+    root, seq, ts = mini_nclt
+    scene = {
+        "mapping": {
+            "point_clouds": [f"velodyne_data/{seq}/velodyne_sync/{ts[0]}.bin"],
+            "images": [
+                [f"images/{seq}/lb3/Cam{c}/{ts[0]}.tiff" for c in range(1, 6)]
+            ],
+            "poses": [np.eye(4).tolist()],
+        },
+        "registration": [
+            {
+                "point_cloud": f"velodyne_data/{seq}/velodyne_sync/{ts[1]}.bin",
+                "images": [f"images/{seq}/lb3/Cam{c}/{ts[1]}.tiff" for c in range(1, 6)],
+                "pose": np.eye(4).tolist(),
+            }
+        ],
+    }
+    scene_file = tmp_path / "scene_000.json"
+    scene_file.write_text(json.dumps(scene))
+
+    # Tiny tower, production 512-d output head (the plumbing under test).
+    cfg = MaskCLIPConfig(
+        hidden_size=64, num_layers=2, num_heads=4, patch_size=16,
+        embed_dim=512, pretrain_img_size=64,
+    )
+    gen = ImageFeatureGenerator("maskclip", config=cfg, seed=0)
+    assert gen.feature_size == 512 and gen.patch_size == 16
+    out = prepare_scene(root, scene_file, tmp_path / "processed", feature_generator=gen)
+    assert out.exists()
+    loaded = read_scenes(out)
+    assert loaded["map_point_clouds"][0].shape[1] == 3 + 512
+    assert loaded["scene_point_clouds"][0].shape[1] == 3 + 512
+    desc = loaded["map_point_clouds"][0][:, 3:]
+    assert (np.abs(desc).sum(axis=1) > 0).any()

@@ -115,9 +115,17 @@ def _interp_pos(pos_embed, gh, gw, cfg: MaskCLIPConfig):
     g = cfg.pos_grid
     if gh == g and gw == g:
         return pos_embed
+    # Exact torch `F.interpolate(mode="bicubic", align_corners=False)` clone
+    # (a=-0.75) realized as two small matmuls — the same resize the torch-side
+    # consumers use (transformers `CLIPVisionEmbeddings.interpolate_pos_encoding`).
+    from vfmreg_tpu.models.vit import _torch_bicubic_matrix
+
     cls_pos = pos_embed[:1]
-    patch = pos_embed[1:].reshape(1, g, g, -1)
-    patch = jax.image.resize(patch, (1, gh, gw, patch.shape[-1]), method="bicubic")
+    patch = pos_embed[1:].reshape(g, g, -1)
+    wh = _torch_bicubic_matrix(g, gh).astype(patch.dtype)
+    ww = _torch_bicubic_matrix(g, gw).astype(patch.dtype)
+    patch = jnp.einsum("hH,Hwd->hwd", wh, patch)
+    patch = jnp.einsum("wW,hWd->hwd", ww, patch)
     return jnp.concatenate([cls_pos, patch.reshape(gh * gw, -1)], axis=0)
 
 
