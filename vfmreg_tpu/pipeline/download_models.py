@@ -139,14 +139,54 @@ def verify_loadable(dest: Path) -> None:
         print(f"[{name}] converted OK")
 
 
+def self_test() -> int:
+    """Zero-egress converter verification.
+
+    Runs every registered converter against the in-tree golden fixtures
+    (state dicts captured from the reference repo's OWN torch modules by
+    `tests/torch_oracles/gen_reference_goldens.py`) and the random-weight
+    transformers parity suites for the DINOv2/CLIP towers — no downloads.
+    This is the strongest verification available without the published
+    checkpoints (`download_baseline_models.py:10-33` needs egress); with
+    egress, `--verify` additionally round-trips the real files.
+    """
+    tests = Path(__file__).resolve().parents[2] / "tests"
+    if not (tests / "test_reference_goldens.py").exists():
+        print("self-test needs a source checkout (tests/golden fixtures); skipping")
+        return 1
+    import pytest
+
+    return pytest.main(
+        [
+            str(tests / "test_reference_goldens.py"),
+            str(tests / "test_maskclip.py"),
+            str(tests / "test_vit.py"),
+            str(tests / "test_clip_text.py"),
+            "-q",
+            "-m",
+            "",
+            "-p",
+            "no:cacheprovider",
+        ]
+    )
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--dest", type=str, default=None)
     parser.add_argument("--convert-only", action="store_true")
     parser.add_argument("--verify", action="store_true")
+    parser.add_argument(
+        "--self-test",
+        action="store_true",
+        help="verify every converter against the in-tree reference goldens "
+        "and transformers parity suites (no downloads needed)",
+    )
     args = parser.parse_args()
     dest = Path(args.dest) if args.dest else cache_dir()
 
+    if args.self_test:
+        raise SystemExit(self_test())
     if not args.convert_only:
         for name in CHECKPOINTS:
             download(name, dest)
