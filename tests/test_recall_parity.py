@@ -242,7 +242,7 @@ def _cosine_corr(map_pts, map_feats, scan, scan_feats, min_sim=0.8):
     return scan[ok], map_pts[j[ok]]
 
 
-def _oracle_register(map_pts, map_feats, scan, scan_feats, rng):
+def _oracle_register(map_pts, map_feats, scan, scan_feats, rng, n_hyp=N_HYPOTHESES):
     """Trusted vfm pipeline: 5 m-voxelized scan -> dense cosine 1-NN (>=0.8),
     retry at 1 m when sparse (`registration_node.py:420-423`) -> Kabsch RANSAC
     -> cKDTree GM ICP. Pure numpy/scipy."""
@@ -253,7 +253,7 @@ def _oracle_register(map_pts, map_feats, scan, scan_feats, rng):
         src, tgt = _cosine_corr(map_pts, map_feats, v_scan, v_feats)
     if len(src) < 3:
         return np.eye(4)
-    pose = _kabsch_ransac(src, tgt, rng)
+    pose = _kabsch_ransac(src, tgt, rng, n_hyp=n_hyp)
     return _icp_refine(map_pts, scan, pose)
 
 
@@ -276,7 +276,7 @@ def _device_vfm_corr(grid, scan, scan_feats, voxel):
     )
 
 
-def _device_register(map_pts, map_feats, scan, scan_feats):
+def _device_register(map_pts, map_feats, scan, scan_feats, n_hyp=N_HYPOTHESES):
     """The shipped vfm row: device grid + cosine matching (5 m scan voxels,
     1 m retry below 75 correspondences) + device RANSAC + candidate-cached ICP."""
     from vfmreg_tpu.ops.hash_grid import build_hash_grid
@@ -289,7 +289,7 @@ def _device_register(map_pts, map_feats, scan, scan_feats):
         corr = _device_vfm_corr(grid, scan, scan_feats, 1.0)
     out = ransac_registration(
         corr.source, corr.target, corr.mask, jax.random.PRNGKey(3),
-        num_hypotheses=N_HYPOTHESES,
+        num_hypotheses=n_hyp,
     )
     pose = out[0] if isinstance(out, tuple) else out
     refined = register_frame_icp(
@@ -698,3 +698,73 @@ def test_recall_parity_fpfh_row(regime):
     assert np.mean(agreement) >= 0.95, (regime, np.mean(agreement))
     if regime == "structured":
         assert _recall(oracle["fpfh_mutual"]) >= 0.6, oracle
+
+
+# ------------------------------------------------- production-scale smoke
+def _make_production_case(rng, regime, n_map=120_000, n_scan=16_384):
+    """One case per regime at the reference's production shapes: >=1e5-point
+    map (`registration_node.py:568-578` scale) and a 16k-point scan. Single
+    seed — a smoke of the SHAPES; the statistical net stays at the small
+    scale above."""
+    if regime == "repetitive":
+        pts, feats = _world_repetitive(rng, n=n_map, extent=120.0, cell=18.0)
+    else:
+        pts, feats = _world_regular(rng, n=n_map, extent=120.0)
+
+    T = np.eye(4, dtype=np.float32)
+    T[:3, :3] = Rotation.from_euler("z", rng.uniform(-25, 25), degrees=True).as_matrix()
+    T[:3, 3] = [rng.uniform(-8, 8), rng.uniform(-8, 8), rng.uniform(-0.3, 0.3)]
+
+    if regime == "partial_overlap":
+        keep = pts[:, 0] > -40.0
+        map_pts, map_feats = pts[keep], feats[keep]
+        win = np.abs(pts[:, 0] + 25.0) < 40.0
+        sel = np.flatnonzero(win)
+    else:
+        map_pts, map_feats = pts, feats
+        center = rng.uniform(-60, 60, 2)
+        near = np.flatnonzero(np.linalg.norm(pts[:, :2] - center, axis=1) < 55.0)
+        sel = near
+    sel = rng.choice(sel, min(n_scan, sel.size), replace=False)
+    scan_world, scan_feats = pts[sel], feats[sel]
+
+    scan = (scan_world - T[:3, 3]) @ np.linalg.inv(T[:3, :3]).T
+    scan = scan + rng.normal(0, 0.02, scan.shape)
+
+    if regime == "outlier_heavy":
+        n_bad = int(0.6 * len(scan_feats))
+        bad = rng.choice(len(scan_feats), n_bad, replace=False)
+        scan_feats = scan_feats.copy()
+        scan_feats[bad] = rng.normal(size=(n_bad, D))
+
+    return (
+        map_pts.astype(np.float32),
+        map_feats.astype(np.float32),
+        scan.astype(np.float32),
+        scan_feats.astype(np.float32),
+        T,
+    )
+
+
+@pytest.mark.parametrize("regime", ["outlier_heavy", "partial_overlap", "repetitive"])
+def test_recall_parity_production_scale(regime):
+    """Production-shape smoke (VERDICT r3 item 5): one case per regime at
+    >=1e5 map points with the reference's FULL 50,000-hypothesis RANSAC
+    budget (`registration_node.py:319-327`), vfm row vs the numpy oracle."""
+    rng = np.random.RandomState(101)
+    map_pts, map_feats, scan, scan_feats, T = _make_production_case(rng, regime)
+    assert map_pts.shape[0] >= 100_000, map_pts.shape
+
+    pose_dev = _device_register(map_pts, map_feats, scan, scan_feats, n_hyp=50_000)
+    ok_dev = _gate(pose_dev, T)
+
+    pose_ora = _oracle_register(
+        map_pts, map_feats, scan, scan_feats, rng, n_hyp=50_000
+    )
+    ok_ora = _gate(pose_ora, T)
+
+    assert ok_ora, (regime, "oracle failed - vacuous case", pose_ora, T)
+    assert ok_dev, (
+        regime,
+        compute_errors(pose_dev, T.astype(np.float64)),
+    )

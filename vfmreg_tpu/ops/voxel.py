@@ -113,9 +113,17 @@ def voxel_down_sample_masked(
     )
     selected = mask_s & ~prev_same
 
-    pts_s = points[order]
-    arrays = (pts_s,) if feats is None else (pts_s, feats[order])
-    compacted = compact_by_mask(selected, *arrays)
+    # Map the selection back to ORIGINAL row order before compacting: chained
+    # downsamples (the driver's 0.1 -> 0.5v -> 1.0v -> 5 m device chain) must
+    # apply first-wins in INSERTION order at every stage, exactly like the
+    # reference's host chain — a hash-ordered intermediate would make the next
+    # stage pick a hash-first (not insertion-first) representative. One extra
+    # int32 argsort; keeps the op scatter-free.
+    inv = jnp.argsort(order)
+    sel_orig = selected[inv]
+
+    arrays = (points,) if feats is None else (points, feats)
+    compacted = compact_by_mask(sel_orig, *arrays)
     mask_out = compacted[0]
     pts_out = compacted[1]
     feats_out = compacted[2] if feats is not None else None

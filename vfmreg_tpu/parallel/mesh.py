@@ -183,3 +183,72 @@ def batched_icp(grid, points, mask, guesses, max_dist, kernel):
 
     fn = jax.vmap(register_frame_icp, in_axes=(None, 0, 0, 0, None, None))
     return fn(grid, points, mask, guesses, max_dist, kernel)
+
+
+def sharded_driver_stages(mesh: Mesh, num_hypotheses: int = 50000):
+    """The batched driver stages with the SCAN axis sharded over the mesh's
+    `data` axis and the map replicated (it fits one chip; scans don't need it
+    twice). Each device runs B/n_dev scans' full correspondence + snap +
+    `num_hypotheses`-RANSAC + ICP programs; no cross-device collective is
+    needed because per-scan results are independent — the shard_map exists to
+    place the lanes. Results are bit-identical to the single-device vmapped
+    stages lane-for-lane (pinned in `__graft_entry__.dryrun_multichip` and
+    `tests/test_parallel.py`).
+
+    Returns dict(match, snap, ransac, icp) of jitted callables with the same
+    signatures as `get_vfm_correspondences_batched` / `batched_snap` /
+    `batched_ransac` / `batched_icp`; the scan axis of every argument must be
+    divisible by the mesh size (callers pad by replicating a scan row).
+    """
+    from vfmreg_tpu.ops.matching import get_vfm_correspondences_batched
+    from vfmreg_tpu.registration.ransac import ransac_registration
+
+    def _smap(fn, in_specs, out_specs):
+        return jax.jit(
+            jax.shard_map(
+                fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_vma=False
+            )
+        )
+
+    D = P("data")
+    R = P()  # replicated
+
+    match = _smap(
+        lambda mp, mf, mm, q, qf, qm: get_vfm_correspondences_batched(
+            mp, mf, mm, q, qf, qm
+        ),
+        (R, R, R, D, D, D),
+        D,
+    )
+
+    def _snap(c_src, c_tgt, c_mask, s_pts, s_mask, map_pts, map_mask):
+        from vfmreg_tpu.registration.ransac import snap_correspondences
+
+        def one(src, tgt, m, sp, sm):
+            return snap_correspondences(
+                src, tgt, m, sp, sm, map_pts, map_mask, tol=1e-3
+            )
+
+        return jax.vmap(one)(c_src, c_tgt, c_mask, s_pts, s_mask)
+
+    snap = _smap(_snap, (D, D, D, D, D, R, R), D)
+
+    ransac = _smap(
+        lambda src, tgt, mask, keys: jax.vmap(
+            lambda s, t, m, k: ransac_registration(
+                s, t, m, k, num_hypotheses=num_hypotheses
+            ).pose
+        )(src, tgt, mask, keys),
+        (D, D, D, D),
+        D,
+    )
+
+    def _icp(grid, points, mask, guesses, max_dist, kernel):
+        from vfmreg_tpu.registration.icp import register_frame_icp
+
+        fn = jax.vmap(register_frame_icp, in_axes=(None, 0, 0, 0, None, None))
+        return fn(grid, points, mask, guesses, max_dist, kernel)
+
+    icp = _smap(_icp, (R, D, D, D, R, R), D)
+
+    return {"match": match, "snap": snap, "ransac": ransac, "icp": icp}

@@ -65,6 +65,43 @@ def orthogonalize(Rm: np.ndarray) -> np.ndarray:
     return R
 
 
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnames=("voxel_size", "q_budget"))
+def _preprocess_scans_device(raw, raw_mask, voxel_size: float, q_budget: int = 4096):
+    """Per-scene scan preprocessing on DEVICE — the TPU-first replacement of
+    the driver's host voxelize chain (reference `registration_node.py:289-290`
+    double downsample + the 0.1 m pass at `:587-589`): 0.1 m first-wins
+    voxelize -> KISS double downsample (0.5 v, 1.0 v) -> 5 m query voxelize,
+    descriptor columns carried throughout, survivors compacted to the front.
+
+    The voxelized SETS match the host path exactly (same first-wins C-trunc
+    semantics); row ORDER is voxel-hash-sorted rather than insertion-ordered,
+    so downstream RANSAC row sampling sees an equivalent — not bit-identical —
+    correspondence order (`tests/test_harness.py` pins set equality + recall).
+
+    Returns (s_xyz [B,N,3], s_feats [B,N,D], s_mask [B,N], s_counts [B],
+             q5_xyz [B,Q,3], q5_feats [B,Q,D], q5_mask [B,Q], q5_total [B]).
+    """
+    from vfmreg_tpu.ops.voxel import voxel_down_sample_masked
+
+    def one(pc, m):
+        xyz, f = pc[:, :3], pc[:, 3:]
+        p, f, m_ = voxel_down_sample_masked(xyz, 0.1, mask=m, feats=f)
+        p, f, m_ = voxel_down_sample_masked(p, 0.5 * voxel_size, mask=m_, feats=f)
+        p, f, m_ = voxel_down_sample_masked(p, 1.0 * voxel_size, mask=m_, feats=f)
+        q5, qf5, qm5 = voxel_down_sample_masked(p, 5.0, mask=m_, feats=f)
+        return (
+            p, f, m_,
+            q5[:q_budget], qf5[:q_budget], qm5[:q_budget],
+            jnp.sum(qm5, dtype=jnp.int32),
+        )
+
+    p, f, m, q5, qf5, qm5, q5_total = jax.vmap(one)(raw, raw_mask)
+    return p, f, m, jnp.sum(m, axis=1, dtype=jnp.int32), q5, qf5, qm5, q5_total
+
+
 class RegistrationNode:
     """API mirror of the reference class (`registration_node.py:44`)."""
 
@@ -83,6 +120,7 @@ class RegistrationNode:
         cluster_insertion_dir: Optional[Path] = None,
         kitti_dir: Optional[Path] = None,  # scan_to_scan='kitti' data root
         batch_scans: Optional[bool] = None,
+        device_preprocess: Optional[bool] = None,
     ) -> None:
         self.interactive = interactive
         self.cluster_removal_prob = cluster_removal_prob
@@ -96,6 +134,17 @@ class RegistrationNode:
         if batch_scans is None:
             batch_scans = jax.default_backend() == "tpu"
         self.batch_scans = batch_scans
+        # Device-side scan preprocessing for the batched path (0.1 m voxelize +
+        # double downsample + 5 m query voxelize run as ONE jitted program on
+        # the padded scan batch instead of per-scan host numpy). Same first-wins
+        # voxel SETS as the host chain; hash-sorted row order (see
+        # `_preprocess_scans_device`). Default: on for TPU; the CPU default
+        # stays on the host chain so the batched==serial bit-identity pins in
+        # tests/test_harness.py keep their exact meaning (device-preproc parity
+        # is pinned separately, set-level).
+        if device_preprocess is None:
+            device_preprocess = batch_scans and jax.default_backend() == "tpu"
+        self.device_preprocess = device_preprocess and batch_scans
         # Host voxel-hash maps for the current local map, shared across the GT
         # ICP / correspondence / refine stages instead of rebuilt per method.
         self._hash_map_cache: Dict[bool, tuple] = {}
@@ -152,14 +201,28 @@ class RegistrationNode:
         # mesh (`parallel.mesh.sharded_ransac`, psum/pmin winner broadcast).
         # Single-device runs keep the plain vmapped path.
         self._sharded_ransac = None
+        self._sharded_stages = None
+        self._mesh_size = 1
         if len(jax.devices()) > 1:
-            from vfmreg_tpu.parallel.mesh import make_mesh, sharded_ransac
+            from vfmreg_tpu.parallel.mesh import (
+                make_mesh,
+                sharded_driver_stages,
+                sharded_ransac,
+            )
 
             self.mesh = make_mesh()
+            self._mesh_size = len(jax.devices())
             self._sharded_ransac = sharded_ransac(
                 self.mesh, num_hypotheses=RANSAC_HYPOTHESES
             )
-            print(f"Mesh: sharding RANSAC over {len(jax.devices())} devices")
+            # Scan-axis sharding for the batched driver stages: with >= one
+            # scan per device, every stage (match/snap/RANSAC/ICP) runs its
+            # scans data-parallel over the mesh; below that, RANSAC falls back
+            # to the per-scan hypothesis-sharded layout.
+            self._sharded_stages = sharded_driver_stages(
+                self.mesh, num_hypotheses=RANSAC_HYPOTHESES
+            )
+            print(f"Mesh: sharding driver stages over {len(jax.devices())} devices")
 
         self.config = load_config(None, deskew=False, max_range=None)
         print("Sigma:", self.config.adaptive_threshold.initial_threshold)
@@ -601,13 +664,51 @@ class RegistrationNode:
             batched_snap,
         )
 
+        # Stage profiling (VFMREG_PROFILE_DRIVER=1): blocks between stages and
+        # prints a per-stage wall breakdown. Profiling only — the sync barriers
+        # it inserts defeat the enqueue pipelining the production path relies
+        # on, so throughput WITH profiling is not the throughput.
+        import os as _os
+
+        _profile = _os.environ.get("VFMREG_PROFILE_DRIVER") == "1"
+        _stage_t: Dict[str, float] = {}
+        _last = [time()]
+
+        def _tic(label, *sync_values):
+            if not _profile:
+                return
+            for v in sync_values:
+                jax.block_until_ready(v)
+            now = time()
+            _stage_t[label] = _stage_t.get(label, 0.0) + (now - _last[0])
+            _last[0] = now
+
         sigma = self.config.adaptive_threshold.initial_threshold
 
-        scans, poses = [], []
-        for pose, pc in zip(scene["scene_poses"], scene["scene_point_clouds"]):
-            scans.append(voxel_down_sample(pc, 0.1).astype(pc.dtype))
-            poses.append(self._gt_fixed_pose(pose))
-        b = len(scans)
+        device_pre = self.device_preprocess
+        poses = [self._gt_fixed_pose(p) for p in scene["scene_poses"]]
+        b = len(poses)
+        scans = None
+        if not device_pre:
+            scans = [
+                voxel_down_sample(pc, 0.1).astype(pc.dtype)
+                for pc in scene["scene_point_clouds"]
+            ]
+        _tic("host_voxelize_0.1")
+
+        stages = self._sharded_stages
+        n_dev = self._mesh_size
+
+        def _pad_b(arrays, b0):
+            # Pad the leading scan axis to a multiple of the mesh size by
+            # replicating row 0 (results are sliced back to b0 rows).
+            r = (-b0) % n_dev
+            if r == 0:
+                return tuple(arrays)
+            return tuple(
+                jnp.concatenate([a, jnp.repeat(a[:1], r, axis=0)], axis=0)
+                for a in arrays
+            )
 
         # The vfm correspondence/RANSAC/refine stages only run when the method
         # matrix asks for the vfm row — a matrix of e.g. only fpfh rows must not
@@ -615,17 +716,23 @@ class RegistrationNode:
         want_vfm = any(m == "vfm" for m, _ in self.methods_ransac)
         want_vfm_icp = any(m == "vfm" and ri for m, ri in self.methods_ransac)
 
-        map_3d = self._map_hash(scene_local_map, with_descriptors=False)
-        grid3 = map_3d.device_grid()
         if want_vfm:
+            # ONE grid build per scene: the descriptor grid's coordinate side
+            # (points/valid/table/slabs) is bit-identical to a 3D-only build —
+            # same insertion order, same per-voxel cap on the same coords —
+            # and the geometric ICP stages simply never read `feats`. Building
+            # a separate 3D grid would duplicate the dominant per-scene cost
+            # (sort + slab scatter + host->device map upload) for zero effect.
             map_full = self._map_hash(scene_local_map, with_descriptors=True)
             grid_full = map_full.device_grid()
+            grid3 = grid_full
+        else:
+            grid3 = self._map_hash(scene_local_map, with_descriptors=False).device_grid()
+        _tic("map_grid_build", grid3.bucket_slab)
         # The 3D grid's (points, valid) pair IS the padded capped store that
         # `point_cloud()` would fetch and `_pad` would re-upload — use it
         # directly and stay on device.
         map_pad, map_mask = grid3.points, grid3.valid
-
-        voxel_scans = [self._voxelize_scan(pc) for pc in scans]
 
         def stack(clouds, dims):
             # Row count = len(clouds), NOT the scene's scan count b: the 1 m
@@ -638,33 +745,105 @@ class RegistrationNode:
                 m[j, : c.shape[0]] = True
             return out, m
 
-        s_xyz, s_mask = stack(voxel_scans, 3)
-        s_xyz_j = jnp.asarray(s_xyz)
-        s_mask_j = jnp.asarray(s_mask)
+        p3 = f3 = m3 = counts3_dev = q5x = q5f = q5m = q5_total = None
+        s_xyz_j = s_mask_j = scan_sizes = None
+        if device_pre:
+            # DEVICE preprocessing: the raw scan batch crosses the link once
+            # (or is already resident via `scene_point_clouds_device`), then
+            # 0.1 m voxelize + double downsample + 5 m query voxelize run as
+            # ONE program. The ICP operand width is chosen AFTER the counts
+            # come back with the sync-1 fetch (a cheap device slice).
+            dev = scene.get("scene_point_clouds_device")
+            if dev is not None:
+                raw, raw_mask = dev
+            else:
+                raw_np, raw_mask_np = stack(
+                    scene["scene_point_clouds"], scene_local_map.shape[1]
+                )
+                raw, raw_mask = jnp.asarray(raw_np), jnp.asarray(raw_mask_np)
+            (p3, f3, m3, counts3_dev, q5x, q5f, q5m, q5_total) = (
+                _preprocess_scans_device(
+                    raw, raw_mask, voxel_size=float(self.config.mapping.voxel_size)
+                )
+            )
+        else:
+            voxel_scans = [self._voxelize_scan(pc) for pc in scans]
+            s_xyz, s_mask = stack(voxel_scans, 3)
+            s_xyz_j = jnp.asarray(s_xyz)
+            s_mask_j = jnp.asarray(s_mask)
+            scan_sizes = [v.shape[0] for v in voxel_scans]
+        _tic("host_scan_voxelize_stack", s_xyz_j if s_xyz_j is not None else p3)
+
+        def _slice_scan_operands(counts3):
+            # Compact ICP operands to the smallest bucketed width that holds
+            # every scan's survivors (the device arrays are front-compacted).
+            W = min(bucket_size(max(int(np.max(counts3)), 1)), p3.shape[1])
+            return p3[:, :W], m3[:, :W], [int(x) for x in counts3]
 
         retry: list = []
         corr_counts = ransac_raw = ransac_ortho = snap_mask = None
         if want_vfm:
-            voxel_desc = [self._double_voxelize(pc) for pc in scans]
+            def match_arrays(qx, qf, qm):
+                if stages is not None:
+                    b0 = qx.shape[0]
+                    q, qf_, qm_ = _pad_b((qx, qf, qm), b0)
+                    corr = stages["match"](
+                        grid_full.points, grid_full.feats, grid_full.valid, q, qf_, qm_
+                    )
+                    return jax.tree.map(lambda a: a[:b0], corr)
+                return get_vfm_correspondences_batched(
+                    grid_full.points, grid_full.feats, grid_full.valid, qx, qf, qm
+                )
 
             def match(clouds):
                 xyz, mask = stack(clouds, 3)
                 f = np.zeros((len(clouds), xyz.shape[1], scene_local_map.shape[1] - 3), np.float32)
                 for j, c in enumerate(clouds):
                     f[j, : c.shape[0]] = c[:, 3:]
-                return get_vfm_correspondences_batched(
-                    grid_full.points, grid_full.feats, grid_full.valid,
-                    jnp.asarray(xyz), jnp.asarray(f), jnp.asarray(mask),
-                )
+                return match_arrays(jnp.asarray(xyz), jnp.asarray(f), jnp.asarray(mask))
+
+            if not device_pre:
+                voxel_desc = [self._double_voxelize(pc) for pc in scans]
 
             # 5 m pass for every scan; 1 m retry for scans below 75 correspondences.
-            corr5 = match([voxel_down_sample(v, 5.0) for v in voxel_desc])
-            counts5 = np.asarray(jnp.sum(corr5.mask, axis=1))  # sync 1: retry decision
+            if device_pre:
+                corr5 = match_arrays(q5x, q5f, q5m)
+                # sync 1: retry decision + the scan-survivor counts that pick
+                # the ICP operand width (ONE fetch).
+                sync1 = jax.device_get(
+                    {
+                        "counts5": jnp.sum(corr5.mask, axis=1),
+                        "counts3": counts3_dev,
+                        "q5_total": q5_total,
+                    }
+                )
+                counts5 = np.asarray(sync1["counts5"])
+                if int(np.max(sync1["q5_total"])) > q5x.shape[1]:
+                    print(
+                        "[WARNING] 5 m query budget "
+                        f"({q5x.shape[1]}) exceeded; extra voxels dropped"
+                    )
+                s_xyz_j, s_mask_j, scan_sizes = _slice_scan_operands(sync1["counts3"])
+            else:
+                corr5 = match([voxel_down_sample(v, 5.0) for v in voxel_desc])
+                counts5 = np.asarray(jnp.sum(corr5.mask, axis=1))  # sync 1: retry decision
+            _tic("match_5m")
             retry = [j for j in range(b) if int(counts5[j]) < 75]
             c_src, c_tgt, c_mask = corr5.source, corr5.target, corr5.mask
             corr_counts = [int(x) for x in counts5]
             if retry:
-                corr1 = match([voxel_down_sample(voxel_desc[j], 1.0) for j in retry])
+                if device_pre:
+                    # Host retry re-voxelizes the double-voxelized cloud at
+                    # 1.0 m — identity for a first-wins downsample at the same
+                    # size — so the retry query set IS the double-voxelized
+                    # set of the retried scans.
+                    rows_r = jnp.asarray(np.asarray(retry, np.int32))
+                    W = s_xyz_j.shape[1]
+                    corr1 = match_arrays(
+                        p3[rows_r, :W], f3[rows_r, :W], m3[rows_r, :W]
+                    )
+                else:
+                    corr1 = match([voxel_down_sample(voxel_desc[j], 1.0) for j in retry])
                 counts1 = np.asarray(jnp.sum(corr1.mask, axis=1))
                 for r, j in enumerate(retry):
                     corr_counts[j] = int(counts1[r])
@@ -693,11 +872,25 @@ class RegistrationNode:
                     flag[:, None], pad_to(corr1.mask, n_corr)[rows], pad_to(c_mask, n_corr)
                 )
 
-            snap_src, snap_tgt, snap_mask = batched_snap(
-                c_src, c_tgt, c_mask, s_xyz_j, s_mask_j, map_pad, map_mask,
-            )
-            if self._sharded_ransac is not None:
-                # Multi-chip: the hypothesis budget shards over the mesh per scan
+            _tic("match_1m_retry")
+            if stages is not None:
+                cs, ct, cm, sx, smk = _pad_b((c_src, c_tgt, c_mask, s_xyz_j, s_mask_j), b)
+                snap_src, snap_tgt, snap_mask = (
+                    a[:b] for a in stages["snap"](cs, ct, cm, sx, smk, map_pad, map_mask)
+                )
+            else:
+                snap_src, snap_tgt, snap_mask = batched_snap(
+                    c_src, c_tgt, c_mask, s_xyz_j, s_mask_j, map_pad, map_mask,
+                )
+            if stages is not None and b >= n_dev:
+                # Multi-chip, >= one scan per device: shard the SCAN axis — each
+                # device runs its scans' full 50k-hypothesis budget.
+                b_pad = b + ((-b) % n_dev)
+                keys = jnp.stack([jax.random.PRNGKey(j) for j in range(b_pad)])
+                ss, ts, ms = _pad_b((snap_src, snap_tgt, snap_mask), b)
+                ransac_dev = stages["ransac"](ss, ts, ms, keys)[:b]
+            elif self._sharded_ransac is not None:
+                # Fewer scans than devices: shard the hypothesis budget per scan
                 # (same layout the serial path uses); enqueue all scans, fetch once.
                 ransac_dev = jnp.stack([
                     self._sharded_ransac(
@@ -712,28 +905,40 @@ class RegistrationNode:
                 )
             # sync 2: RANSAC poses (the f64 Newton orthogonalization is host-side).
             ransac_raw = np.asarray(jax.device_get(ransac_dev), dtype=np.float64)
+            _tic("snap_and_ransac")
             ransac_ortho = ransac_raw.copy()
             for j in range(b):
                 ransac_ortho[j, :3, :3] = orthogonalize(ransac_raw[j, :3, :3])
 
-        gt = batched_icp(
-            grid3, s_xyz_j, s_mask_j,
-            jnp.asarray(np.stack(poses), dtype=jnp.float32),
-            jnp.float32(3 * sigma), jnp.float32(sigma / 3),
-        )
+        if device_pre and s_xyz_j is None:
+            # No vfm row ran, so no sync has happened yet — fetch the survivor
+            # counts now to pick the ICP operand width.
+            s_xyz_j, s_mask_j, scan_sizes = _slice_scan_operands(
+                np.asarray(counts3_dev)
+            )
+
+        def run_icp(guesses, max_dist, kernel):
+            g = jnp.asarray(guesses, dtype=jnp.float32)
+            if stages is not None:
+                sx, smk, gp = _pad_b((s_xyz_j, s_mask_j, g), b)
+                return stages["icp"](
+                    grid3, sx, smk, gp, jnp.float32(max_dist), jnp.float32(kernel)
+                )[:b]
+            return batched_icp(
+                grid3, s_xyz_j, s_mask_j, g, jnp.float32(max_dist), jnp.float32(kernel)
+            )
+
+        gt = run_icp(np.stack(poses), 3 * sigma, sigma / 3)
+        _tic("gt_icp", gt)
         # The refined row is only consumed by a ('vfm', run_icp=True) entry.
         refined = None
         if want_vfm_icp:
-            refined = batched_icp(
-                grid3, s_xyz_j, s_mask_j,
-                jnp.asarray(ransac_ortho, dtype=jnp.float32),
-                jnp.float32(3 * sigma), jnp.float32(sigma / 3),
-            )
-        vanilla = batched_icp(
-            grid3, s_xyz_j, s_mask_j,
-            jnp.asarray(np.tile(np.eye(4, dtype=np.float32), (b, 1, 1))),
-            jnp.float32(7 * sigma), jnp.float32(sigma / 7),
+            refined = run_icp(ransac_ortho, 3 * sigma, sigma / 3)
+        _tic("refine_icp", refined if refined is not None else gt)
+        vanilla = run_icp(
+            np.tile(np.eye(4, dtype=np.float32), (b, 1, 1)), 7 * sigma, sigma / 7
         )
+        _tic("vanilla_icp", vanilla)
         # sync 3: one fetch for every remaining device result.
         to_fetch = {"gt": gt, "vanilla": vanilla, "map_size": grid3.num_points}
         if refined is not None:
@@ -741,6 +946,11 @@ class RegistrationNode:
         if snap_mask is not None:
             to_fetch["snap_counts"] = jnp.sum(snap_mask, axis=1)
         fetched = jax.device_get(to_fetch)
+        _tic("final_fetch")
+        if _profile:
+            total = sum(_stage_t.values())
+            print("[profile] driver stage breakdown (s): " + ", ".join(
+                f"{k}={v:.3f}" for k, v in _stage_t.items()) + f" | total={total:.3f}")
         return {
             "gt": np.asarray(fetched["gt"], dtype=np.float64),
             "vfm_ransac_raw": ransac_raw,
@@ -756,7 +966,7 @@ class RegistrationNode:
                 if snap_mask is not None else None
             ),
             "map_size": int(fetched["map_size"]),
-            "scan_sizes": [v.shape[0] for v in voxel_scans],
+            "scan_sizes": scan_sizes,
             "retried": retry,  # scans that took the 1 m pass (test/debug surface)
         }
 
