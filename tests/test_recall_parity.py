@@ -701,30 +701,48 @@ def test_recall_parity_fpfh_row(regime):
 
 
 # ------------------------------------------------- production-scale smoke
-def _make_production_case(rng, regime, n_map=120_000, n_scan=16_384):
+def _make_production_case(rng, regime, n_map=120_000, n_scan=16_384, d=384):
     """One case per regime at the reference's production shapes: >=1e5-point
-    map (`registration_node.py:568-578` scale) and a 16k-point scan. Single
-    seed — a smoke of the SHAPES; the statistical net stays at the small
-    scale above."""
+    map (`registration_node.py:568-578` scale), a 16k-point scan, and the
+    production 384-d descriptors (`DescriptorSize.hpp:7`). Single seed — a
+    smoke of the SHAPES; the statistical net stays at the small scale above.
+    The partial case keeps ~15% of the scan off-map (the small-scale regime's
+    solvable ratio; at ~45% the reference's own min-RMSE objective fails —
+    see `_make_case`)."""
+    if regime == "partial_overlap":
+        n_map = int(n_map * 1.35)  # the border crop below removes ~1/4
+    extent = 120.0
+    pts = np.c_[
+        rng.uniform(-extent, extent, (n_map, 2)), rng.uniform(0, 8, (n_map, 1))
+    ]
     if regime == "repetitive":
-        pts, feats = _world_repetitive(rng, n=n_map, extent=120.0, cell=18.0)
+        cell = 18.0
+        incell = np.c_[np.mod(pts[:, :2], cell), pts[:, 2:]]
+        W = rng.normal(size=(3, d))
+        feats = np.sin(incell @ W * 0.3)
+        unique = np.abs(pts[:, 0]) < 15.0
+        W2 = rng.normal(size=(3, d))
+        feats[unique] += 0.8 * np.sin(pts[unique] @ W2 * 0.05)
     else:
-        pts, feats = _world_regular(rng, n=n_map, extent=120.0)
+        W = rng.normal(size=(3, d))
+        feats = np.sin(pts @ W * 0.1)
+    pts = pts.astype(np.float32)
+    feats = feats.astype(np.float32)
 
     T = np.eye(4, dtype=np.float32)
     T[:3, :3] = Rotation.from_euler("z", rng.uniform(-25, 25), degrees=True).as_matrix()
     T[:3, 3] = [rng.uniform(-8, 8), rng.uniform(-8, 8), rng.uniform(-0.3, 0.3)]
 
     if regime == "partial_overlap":
+        # Scan disk hangs off the cropped map border: ~15% of scan points
+        # have no map counterpart.
         keep = pts[:, 0] > -40.0
         map_pts, map_feats = pts[keep], feats[keep]
-        win = np.abs(pts[:, 0] + 25.0) < 40.0
-        sel = np.flatnonzero(win)
+        sel = np.flatnonzero(np.linalg.norm(pts[:, :2] - [-10.0, 0.0], axis=1) < 50.0)
     else:
         map_pts, map_feats = pts, feats
         center = rng.uniform(-60, 60, 2)
-        near = np.flatnonzero(np.linalg.norm(pts[:, :2] - center, axis=1) < 55.0)
-        sel = near
+        sel = np.flatnonzero(np.linalg.norm(pts[:, :2] - center, axis=1) < 50.0)
     sel = rng.choice(sel, min(n_scan, sel.size), replace=False)
     scan_world, scan_feats = pts[sel], feats[sel]
 
@@ -735,7 +753,7 @@ def _make_production_case(rng, regime, n_map=120_000, n_scan=16_384):
         n_bad = int(0.6 * len(scan_feats))
         bad = rng.choice(len(scan_feats), n_bad, replace=False)
         scan_feats = scan_feats.copy()
-        scan_feats[bad] = rng.normal(size=(n_bad, D))
+        scan_feats[bad] = rng.normal(size=(n_bad, d))
 
     return (
         map_pts.astype(np.float32),
