@@ -763,7 +763,12 @@ class RegistrationNode:
                 raw, raw_mask = jnp.asarray(raw_np), jnp.asarray(raw_mask_np)
             (p3, f3, m3, counts3_dev, q5x, q5f, q5m, q5_total) = (
                 _preprocess_scans_device(
-                    raw, raw_mask, voxel_size=float(self.config.mapping.voxel_size)
+                    raw,
+                    raw_mask,
+                    voxel_size=float(self.config.mapping.voxel_size),
+                    # Matching cost scales with this width; real 5 m-voxelized
+                    # scans run ~200-800 queries, and overflow warns at sync 1.
+                    q_budget=2048,
                 )
             )
         else:
@@ -873,6 +878,18 @@ class RegistrationNode:
                 )
 
             _tic("match_1m_retry")
+            if device_pre:
+                # Compact accepted correspondences to the front and slice to
+                # the smallest bucketed width covering every scan: the snap
+                # and RANSAC costs scale with this width (the host path gets
+                # the small width from its stack()). Stable order -> RANSAC's
+                # internal compaction sees the identical sequence.
+                Wc = bucket_size(max(max(corr_counts), 1))
+                if Wc < c_mask.shape[1]:
+                    order_c = jnp.argsort(~c_mask, axis=1, stable=True)
+                    c_src = jnp.take_along_axis(c_src, order_c[..., None], axis=1)[:, :Wc]
+                    c_tgt = jnp.take_along_axis(c_tgt, order_c[..., None], axis=1)[:, :Wc]
+                    c_mask = jnp.take_along_axis(c_mask, order_c, axis=1)[:, :Wc]
             if stages is not None:
                 cs, ct, cm, sx, smk = _pad_b((c_src, c_tgt, c_mask, s_xyz_j, s_mask_j), b)
                 snap_src, snap_tgt, snap_mask = (
@@ -918,23 +935,35 @@ class RegistrationNode:
             )
 
         def run_icp(guesses, max_dist, kernel):
+            # Accepts k*b guesses (k independent rows per scan, e.g. the merged
+            # GT + refine dispatch): the scan operands tile along the batch.
             g = jnp.asarray(guesses, dtype=jnp.float32)
+            reps = g.shape[0] // b
+            sx = s_xyz_j if reps == 1 else jnp.concatenate([s_xyz_j] * reps)
+            sm = s_mask_j if reps == 1 else jnp.concatenate([s_mask_j] * reps)
             if stages is not None:
-                sx, smk, gp = _pad_b((s_xyz_j, s_mask_j, g), b)
+                sx, sm, g2 = _pad_b((sx, sm, g), g.shape[0])
                 return stages["icp"](
-                    grid3, sx, smk, gp, jnp.float32(max_dist), jnp.float32(kernel)
-                )[:b]
+                    grid3, sx, sm, g2, jnp.float32(max_dist), jnp.float32(kernel)
+                )[: g.shape[0]]
             return batched_icp(
-                grid3, s_xyz_j, s_mask_j, g, jnp.float32(max_dist), jnp.float32(kernel)
+                grid3, sx, sm, g, jnp.float32(max_dist), jnp.float32(kernel)
             )
 
-        gt = run_icp(np.stack(poses), 3 * sigma, sigma / 3)
-        _tic("gt_icp", gt)
-        # The refined row is only consumed by a ('vfm', run_icp=True) entry.
+        # GT ICP and the RANSAC-refine row share (max_dist, kernel) and are
+        # independent per lane, so they run as ONE 2B-lane dispatch: the
+        # vmapped while_loop already pays max-lane iterations, and both start
+        # from good inits, so the merged program costs ~max instead of sum.
         refined = None
         if want_vfm_icp:
-            refined = run_icp(ransac_ortho, 3 * sigma, sigma / 3)
-        _tic("refine_icp", refined if refined is not None else gt)
+            both = run_icp(
+                np.concatenate([np.stack(poses), ransac_ortho]),
+                3 * sigma, sigma / 3,
+            )
+            gt, refined = both[:b], both[b:]
+        else:
+            gt = run_icp(np.stack(poses), 3 * sigma, sigma / 3)
+        _tic("gt_and_refine_icp", gt)
         vanilla = run_icp(
             np.tile(np.eye(4, dtype=np.float32), (b, 1, 1)), 7 * sigma, sigma / 7
         )
