@@ -155,7 +155,7 @@ def _run_workload(batch, n_map, n_scan, d, n_vfm, max_iterations, iters,
 
 def _make_synthetic_scene(batch, n_map, n_scan, d, seed=0, extent=100.0):
     """A reference-layout scene for the DRIVER benchmark: one world map with
-    descriptors + `batch` local-frame query scans, each sampling a 50 m-radius
+    descriptors + `batch` local-frame query scans, each sampling a 30 m-radius
     region, GT poses stored with the 0.2-0.5 m / 0.5-2 deg noise of a release
     GT (so the GT-ICP stage runs representative iteration counts)."""
     import numpy as np

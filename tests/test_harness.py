@@ -389,3 +389,55 @@ def test_device_preprocess_voxel_sets_match_host():
     assert as_set(got2) == as_set(h2)
     assert int(q5t[0]) == h5.shape[0]
     assert as_set(got5) == as_set(h5)
+
+
+def test_device_preprocess_retry_non_integer_voxel_size(tmp_path):
+    """At voxel_size=0.5 the reference's 1 m retry voxelization
+    (`registration_node.py:420-423`) is NOT an identity over the
+    double-voxelized cloud — two 0.5 m survivors can share a 1 m voxel —
+    so the device-preprocess path must actually run the 1 m pass on the
+    retried rows (regression: it used to reuse the 0.5 m set as-is, which
+    was only correct for integer voxel sizes). Pins device == host retry
+    decisions and correspondence counts, and the ICP rows within roundoff."""
+    from vfmreg_tpu.data.h5io import save_scene as _save
+
+    rng = np.random.RandomState(5)
+    pts, feats = make_world(rng, n=9000)
+    map_clouds = [np.c_[pts, feats]]
+
+    seq_poses, seq_clouds = [], []
+    # One normal scan and one SMALL scan that takes the 1 m retry.
+    for cx, radius in ((-5.0, 30.0), (6.0, 8.0)):
+        T = np.eye(4)
+        T[:3, 3] = [cx, 2.0, 0.0]
+        keep = np.linalg.norm(pts[:, :2] - T[:2, 3], axis=1) < radius
+        local = pts[keep] - T[:3, 3]
+        seq_poses.append(T)
+        seq_clouds.append(np.c_[local, feats[keep]])
+
+    _save(tmp_path / "scene_000.h5", ["m", "a", "b"], [np.eye(4)], map_clouds,
+          seq_poses, seq_clouds)
+
+    results = {}
+    for dev_pre in (False, True):
+        node = RegistrationNode(
+            tmp_path,
+            methods_ransac=[("vfm", True)],
+            methods_teaser=[],
+            methods_pointdsc=[],
+            batch_scans=True,
+            device_preprocess=dev_pre,
+        )
+        node.config.mapping.voxel_size = 0.5
+        scene = node._read_scene(0)
+        local_map = node._accumulate_map(scene)
+        results[dev_pre] = node._precompute_scene_batched(scene, local_map)
+
+    host, dev = results[False], results[True]
+    assert dev["retried"] == [1], dev["retried"]  # the small scan retried
+    assert host["retried"] == dev["retried"]
+    assert host["scan_sizes"] == dev["scan_sizes"]
+    # The retried row's count comes from the 1 m-voxelized query set; without
+    # the explicit 1 m pass the device row would carry ~4x the queries.
+    assert host["corr_counts"] == dev["corr_counts"]
+    np.testing.assert_allclose(dev["gt"], host["gt"], atol=1e-4)

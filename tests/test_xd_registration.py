@@ -155,7 +155,6 @@ def test_xd_nn_matches_oracle_random(rng):
 def test_mapping_get_correspondences_xd(rng):
     """`VoxelHashMap.get_correspondences(..., xd=True)` applies the weighted
     champion metric; the default keeps the Nd (unweighted) semantics."""
-    voxel_cfg = load_config(None, max_range=100.0)
     m = VoxelHashMap(voxel_size=5.0, max_distance=100.0)
     q = np.array([[1.0, 1.0, 1.0]], np.float32)
     f = np.array([1.0, 0.0], np.float32)

@@ -191,9 +191,10 @@ def sharded_driver_stages(mesh: Mesh, num_hypotheses: int = 50000):
     twice). Each device runs B/n_dev scans' full correspondence + snap +
     `num_hypotheses`-RANSAC + ICP programs; no cross-device collective is
     needed because per-scan results are independent — the shard_map exists to
-    place the lanes. Results are bit-identical to the single-device vmapped
-    stages lane-for-lane (pinned in `__graft_entry__.dryrun_multichip` and
-    `tests/test_parallel.py`).
+    place the lanes. Results match the single-device vmapped stages
+    lane-for-lane to f32 roundoff (~1e-7 — XLA may schedule the shard_map
+    program differently from plain jit; `__graft_entry__.dryrun_multichip`
+    asserts sharded-vs-single-device pose deltas < 1e-4 plus GT recovery).
 
     Returns dict(match, snap, ransac, icp) of jitted callables with the same
     signatures as `get_vfm_correspondences_batched` / `batched_snap` /

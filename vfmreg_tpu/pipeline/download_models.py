@@ -152,8 +152,14 @@ def self_test() -> int:
     """
     tests = Path(__file__).resolve().parents[2] / "tests"
     if not (tests / "test_reference_goldens.py").exists():
-        print("self-test needs a source checkout (tests/golden fixtures); skipping")
-        return 1
+        # A wheel install ships no tests/ tree — a skip, not a failure
+        # (exit 0 so scripts don't read the benign skip as a converter
+        # verification failure; the message records that nothing ran).
+        print(
+            "SKIPPED: --self-test needs a source checkout "
+            "(tests/golden fixtures not found); no converters were verified"
+        )
+        return 0
     import pytest
 
     return pytest.main(

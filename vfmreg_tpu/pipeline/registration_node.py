@@ -102,6 +102,19 @@ def _preprocess_scans_device(raw, raw_mask, voxel_size: float, q_budget: int = 4
     return p, f, m, jnp.sum(m, axis=1, dtype=jnp.int32), q5, qf5, qm5, q5_total
 
 
+@jax.jit
+def _voxelize_1m_batch(p, m, f):
+    """Masked 1 m first-wins voxelize per scan row (the reference's retry
+    voxelization, `registration_node.py:420-423`) — needed on the device
+    path only when voxel_size is non-integer (see the retry call site)."""
+    from vfmreg_tpu.ops.voxel import voxel_down_sample_masked
+
+    def one(pp, mm, ff):
+        return voxel_down_sample_masked(pp, 1.0, mask=mm, feats=ff)
+
+    return jax.vmap(one)(p, m, f)
+
+
 class RegistrationNode:
     """API mirror of the reference class (`registration_node.py:44`)."""
 
@@ -694,7 +707,7 @@ class RegistrationNode:
                 voxel_down_sample(pc, 0.1).astype(pc.dtype)
                 for pc in scene["scene_point_clouds"]
             ]
-        _tic("host_voxelize_0.1")
+        _tic("host_voxelize_0.1" if not device_pre else "host_gt_pose_prep")
 
         stages = self._sharded_stages
         n_dev = self._mesh_size
@@ -839,14 +852,18 @@ class RegistrationNode:
             if retry:
                 if device_pre:
                     # Host retry re-voxelizes the double-voxelized cloud at
-                    # 1.0 m — identity for a first-wins downsample at the same
-                    # size — so the retry query set IS the double-voxelized
-                    # set of the retried scans.
+                    # 1.0 m. When every 1 m voxel nests inside one voxel_size
+                    # voxel (integer voxel_size), that pass is an identity for
+                    # a first-wins downsample and the retry query set IS the
+                    # double-voxelized set; otherwise two survivors can share
+                    # a 1 m voxel across a voxel_size boundary, so the 1 m
+                    # pass must actually run.
                     rows_r = jnp.asarray(np.asarray(retry, np.int32))
                     W = s_xyz_j.shape[1]
-                    corr1 = match_arrays(
-                        p3[rows_r, :W], f3[rows_r, :W], m3[rows_r, :W]
-                    )
+                    rp, rf, rm = p3[rows_r, :W], f3[rows_r, :W], m3[rows_r, :W]
+                    if not float(self.config.mapping.voxel_size).is_integer():
+                        rp, rf, rm = _voxelize_1m_batch(rp, rm, rf)
+                    corr1 = match_arrays(rp, rf, rm)
                 else:
                     corr1 = match([voxel_down_sample(voxel_desc[j], 1.0) for j in retry])
                 counts1 = np.asarray(jnp.sum(corr1.mask, axis=1))
