@@ -122,3 +122,72 @@ def test_harness_uses_sharded_ransac_on_mesh(tmp_path):
     assert node._sharded_ransac is not None
     node.make_step()
     assert node.compute_success_rate("vfm_ransac", 0.6, 1.5) == 1.0
+
+
+def test_map_sharded_icp_matches_single_grid(rng):
+    """tp over map rows: each device grids ONE shard of the map; per-refresh
+    champion all_gather. With refresh_interval=1 every iteration is exact in
+    both programs, so the sharded pose must match the single-grid pose (the
+    champion-UNION contains the global NN; see `parallel.mesh.map_sharded_icp`)
+    and both must recover the planted offset."""
+    from vfmreg_tpu.ops.hash_grid import build_hash_grid
+    from vfmreg_tpu.parallel.mesh import map_sharded_icp
+    from vfmreg_tpu.registration.icp import register_frame_icp
+
+    mesh = make_mesh(("model",))
+    m, n = 8192, 1024
+    # Sparse occupancy (8192 pts over ~40^3 voxels at 1 m) keeps every voxel
+    # under the insertion cap, where per-shard caps == single-grid caps.
+    pts = rng.uniform(-20, 20, (m, 3)).astype(np.float32)
+    T = np.eye(4, dtype=np.float32)
+    T[:3, :3] = R.from_euler("zy", [2.0, -1.0], degrees=True).as_matrix()
+    T[:3, 3] = [0.25, -0.2, 0.1]
+    sel = rng.choice(m, n, replace=False)
+    scan = np.asarray(
+        transform_points(jnp.asarray(pts[sel]), inverse_se3(jnp.asarray(T)))
+    )
+    mm = jnp.ones((m,), bool)
+    sm = jnp.ones((n,), bool)
+    eye = jnp.eye(4, dtype=jnp.float32)
+
+    grid = build_hash_grid(jnp.asarray(pts), 1.0, mask=mm)
+    ref = register_frame_icp(
+        grid, jnp.asarray(scan), sm, eye, 2.0, 0.5, refresh_interval=1
+    )
+    fn = map_sharded_icp(mesh, voxel_size=1.0, refresh_interval=1)
+    got = fn(jnp.asarray(pts), mm, jnp.asarray(scan), sm, eye, 2.0, 0.5)
+
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+    rte = np.linalg.norm(np.asarray(got)[:3, 3] - T[:3, 3])
+    assert rte < 0.05, rte
+
+
+def test_map_sharded_icp_default_refresh_recovers_pose(rng):
+    """Production cadence (refresh_interval=16): the merged champion cache is a
+    SUPERSET of the single-grid cache between refreshes, so poses may differ at
+    roundoff scale — both must still recover the planted offset."""
+    from vfmreg_tpu.parallel.mesh import map_sharded_icp
+
+    mesh = make_mesh(("model",))
+    m, n = 4096, 512
+    pts = rng.uniform(-15, 15, (m, 3)).astype(np.float32)
+    T = np.eye(4, dtype=np.float32)
+    T[:3, :3] = R.from_euler("z", 3.0, degrees=True).as_matrix()
+    T[:3, 3] = [0.3, 0.15, -0.1]
+    sel = rng.choice(m, n, replace=False)
+    scan = np.asarray(
+        transform_points(jnp.asarray(pts[sel]), inverse_se3(jnp.asarray(T)))
+    )
+    fn = map_sharded_icp(mesh, voxel_size=1.0)
+    got = np.asarray(
+        fn(
+            jnp.asarray(pts), jnp.ones((m,), bool), jnp.asarray(scan),
+            jnp.ones((n,), bool), jnp.eye(4, dtype=jnp.float32), 2.0, 0.5,
+        )
+    )
+    rte = np.linalg.norm(got[:3, 3] - T[:3, 3])
+    rre = np.degrees(
+        np.arccos(np.clip((np.trace(got[:3, :3].T @ T[:3, :3]) - 1) / 2, -1, 1))
+    )
+    assert rte < 0.05, rte
+    assert rre < 0.5, rre

@@ -15,7 +15,7 @@ construction is itself just sorts/scans, so it vmaps cleanly).
 from __future__ import annotations
 
 from functools import partial
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -183,6 +183,84 @@ def batched_icp(grid, points, mask, guesses, max_dist, kernel):
 
     fn = jax.vmap(register_frame_icp, in_axes=(None, 0, 0, 0, None, None))
     return fn(grid, points, mask, guesses, max_dist, kernel)
+
+
+def map_sharded_icp(
+    mesh: Mesh,
+    voxel_size: float,
+    axis: str = "model",
+    max_points_per_voxel: int = 20,
+    max_iterations: int = 1000,
+    refresh_interval: Optional[int] = None,
+):
+    """Scan-to-map ICP with the MAP sharded over the mesh's `axis` (tensor
+    parallelism over map rows) — registration targets larger than one chip's
+    HBM.
+
+    Each device builds a hash grid over its shard of the map rows and runs the
+    full cached-champion GN loop REPLICATED (scan, guess, and every carried
+    state are identical on all devices — the program is deterministic, so no
+    cross-device divergence); the only collective is ONE all_gather of the
+    per-shard champion arrays ([32, N] x 4, ~1 MB at N=8192 over ICI) per
+    champion-cache refresh. The champion-union contains the global NN — the
+    global NN lives in some shard, and within that shard it is its voxel's
+    champion — so refresh iterations are exact, the same exactness class as
+    the single-grid cache (`registration.icp.geometric_icp_loop`).
+
+    Semantics note vs one big grid: the `max_points_per_voxel` insertion cap
+    applies PER SHARD, so a voxel can retain up to `n_dev * cap` points
+    map-wide (a capacity scaling, visible only for voxels that overflow the
+    cap in the single-grid build). `NNCache.rows` of the merged cache index
+    per-shard grids and are not used by the geometric path.
+
+    Returns a jitted callable
+      fn(map_pts [M,3], map_mask [M], scan_pts [N,3], scan_mask [N],
+         guess [4,4], max_dist, kernel) -> pose [4,4]
+    with the map arguments sharded over `axis` along their row dim (M must be
+    divisible by the mesh axis size; pad with masked rows) and everything else
+    replicated.
+    """
+    from vfmreg_tpu.ops.hash_grid import NNCache
+    from vfmreg_tpu.registration.icp import REFRESH_INTERVAL, register_frame_icp
+
+    if refresh_interval is None:
+        refresh_interval = REFRESH_INTERVAL
+
+    def _merge(cache: NNCache) -> NNCache:
+        def g(a):
+            return jax.lax.all_gather(a, axis, axis=0, tiled=True)
+
+        return NNCache(cx=g(cache.cx), cy=g(cache.cy), cz=g(cache.cz), rows=g(cache.rows))
+
+    def _body(map_pts, map_mask, scan_pts, scan_mask, guess, max_dist, kernel):
+        grid = build_hash_grid(
+            map_pts,
+            voxel_size,
+            mask=map_mask,
+            max_points_per_voxel=max_points_per_voxel,
+        )
+        return register_frame_icp(
+            grid,
+            scan_pts,
+            scan_mask,
+            guess,
+            max_dist,
+            kernel,
+            max_iterations=max_iterations,
+            refresh_interval=refresh_interval,
+            merge_cache=_merge,
+        )
+
+    D, R = P(axis), P()
+    return jax.jit(
+        jax.shard_map(
+            _body,
+            mesh=mesh,
+            in_specs=(D, D, R, R, R, R, R),
+            out_specs=R,
+            check_vma=False,
+        )
+    )
 
 
 def sharded_driver_stages(mesh: Mesh, num_hypotheses: int = 50000):

@@ -125,9 +125,20 @@ def geometric_icp_loop(
     it0,
     refresh_interval: int = REFRESH_INTERVAL,
     qfeats=None,
+    merge_cache=None,
 ):
     """Shared geometric GN loop (used by plain ICP, VFM-ICP phase 2, and —
     with `qfeats` — the XD descriptor-weighted path).
+
+    `merge_cache` (optional callable NNCache -> NNCache) runs once per champion
+    rebuild — the hook for MAP-SHARDED registration (`parallel.mesh
+    .map_sharded_icp`): under `shard_map` each device's grid covers one shard
+    of the map rows and the hook all_gathers the per-shard champion arrays
+    into a [32*n_dev, N] cache. The champion-UNION contains the global NN
+    (the global NN lives in some shard, and within that shard it is its
+    voxel's champion), so merged refresh iterations are exact — the same
+    exactness class as the single-grid cache. Incompatible with `qfeats`
+    (the weighted cache carries per-champion weights; not merged).
 
     When `qfeats` [N, D] is given (D == the grid's descriptor dim), champion
     selection uses the reference's ACTIVE XD metric: squared distance scaled by
@@ -168,6 +179,8 @@ def geometric_icp_loop(
     r_max = jnp.sqrt(jnp.max(jnp.where(mask, d2_from_center, 0.0)))
     slack = 0.5 * grid.voxel_size
     weighted = qfeats is not None
+    if weighted and merge_cache is not None:
+        raise ValueError("merge_cache is not supported on the XD weighted path")
     use_fused = jax.default_backend() == "tpu" and not weighted
 
     def body(state: _ICPState) -> _ICPState:
@@ -193,6 +206,8 @@ def geometric_icp_loop(
                 cache = build_weighted_nn_cache(cands, cand_w, source0_m, mask)
             else:
                 cache = build_nn_cache(cands, source0_m, mask)
+                if merge_cache is not None:
+                    cache = merge_cache(cache)
 
             def inner_cond(c):
                 source, T_icp, dx_norm, it, done, confirmed, moved_g, s = c
@@ -273,7 +288,9 @@ def geometric_icp_loop(
     return jax.lax.while_loop(cond, body, init)
 
 
-@partial(jax.jit, static_argnames=("max_iterations", "refresh_interval"))
+@partial(
+    jax.jit, static_argnames=("max_iterations", "refresh_interval", "merge_cache")
+)
 @full_precision
 def register_frame_icp(
     grid: HashGrid,
@@ -285,6 +302,7 @@ def register_frame_icp(
     max_iterations: int = MAX_NUM_ITERATIONS,
     estimation_threshold: float = ESTIMATION_THRESHOLD,
     refresh_interval: int = REFRESH_INTERVAL,
+    merge_cache=None,
 ) -> jnp.ndarray:
     """KISS-ICP `RegisterFrame` for 3D points (`Registration.cpp:145-195`).
 
@@ -317,6 +335,7 @@ def register_frame_icp(
         estimation_threshold,
         it0=0,
         refresh_interval=refresh_interval,
+        merge_cache=merge_cache,
     )
     return final.T_icp @ initial_guess
 
