@@ -191,3 +191,159 @@ def test_map_sharded_icp_default_refresh_recovers_pose(rng):
     )
     assert rte < 0.05, rte
     assert rre < 0.5, rre
+
+
+def test_map_sharded_icp_padded_masked_rows(rng):
+    """The documented contract pads M to a multiple of the mesh size with
+    masked rows; masked padding must not poison champion selection (equality
+    with the unpadded single-grid program at refresh_interval=1)."""
+    from vfmreg_tpu.ops.hash_grid import build_hash_grid
+    from vfmreg_tpu.parallel.mesh import map_sharded_icp
+    from vfmreg_tpu.registration.icp import register_frame_icp
+
+    mesh = make_mesh(("model",))
+    n_dev = len(jax.devices())
+    m_real, n = 3001, 512  # deliberately not divisible by the mesh size
+    m_pad = ((m_real + n_dev - 1) // n_dev) * n_dev
+    pts = rng.uniform(-15, 15, (m_real, 3)).astype(np.float32)
+    mp = np.zeros((m_pad, 3), np.float32)
+    mp[:m_real] = pts
+    # Padding rows sit NEAR a scanned point but offset 0.3 m, masked off — if
+    # the mask leaked they would win that query's championship and visibly
+    # drag the pose, breaking the exact parity assert below.
+    mp[m_real:] = pts[0] + np.float32(0.3)
+    mmask = np.zeros((m_pad,), bool)
+    mmask[:m_real] = True
+
+    T = np.eye(4, dtype=np.float32)
+    T[:3, :3] = R.from_euler("z", 2.0, degrees=True).as_matrix()
+    T[:3, 3] = [0.25, -0.15, 0.05]
+    sel = rng.choice(m_real, n, replace=False)
+    sel[0] = 0  # guarantee the poisoned neighborhood is queried
+    scan = np.asarray(
+        transform_points(jnp.asarray(pts[sel]), inverse_se3(jnp.asarray(T)))
+    )
+    sm = jnp.ones((n,), bool)
+    eye = jnp.eye(4, dtype=jnp.float32)
+
+    grid = build_hash_grid(jnp.asarray(pts), 1.0, mask=jnp.ones((m_real,), bool))
+    ref = register_frame_icp(
+        grid, jnp.asarray(scan), sm, eye, 2.0, 0.5, refresh_interval=1
+    )
+    fn = map_sharded_icp(mesh, voxel_size=1.0, refresh_interval=1)
+    got = fn(
+        jnp.asarray(mp), jnp.asarray(mmask), jnp.asarray(scan), sm, eye, 2.0, 0.5
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+def test_map_sharded_vfm_register_end_to_end(rng):
+    """Flagship method on a tp-sharded map: per-shard cosine arg-max merged by
+    max, per-shard grids merged at champion refreshes. Correspondence output
+    must equal the single-device search exactly (contiguous row blocks +
+    first-max tie-breaks); the registered pose must recover the planted GT and
+    match the single-device `register_frame_vfm` flow."""
+    import jax.numpy as jnp
+
+    from vfmreg_tpu.ops.hash_grid import build_hash_grid
+    from vfmreg_tpu.ops.matching import get_vfm_correspondences
+    from vfmreg_tpu.parallel.mesh import map_sharded_vfm_register
+    from vfmreg_tpu.registration.vfm_icp import register_frame_vfm
+
+    mesh = make_mesh(("model",))
+    m, n, d = 8192, 1024, 32
+    pts = np.c_[
+        rng.uniform(-25, 25, (m, 2)), rng.uniform(0, 6, (m, 1))
+    ].astype(np.float32)
+    feats = np.sin(pts @ rng.normal(size=(3, d)).astype(np.float32) * 0.15)
+    T = np.eye(4, dtype=np.float32)
+    T[:3, :3] = R.from_euler("z", 12.0, degrees=True).as_matrix()
+    T[:3, 3] = [3.0, -2.0, 0.2]
+    sel = rng.choice(m, n, replace=False)
+    scan = np.asarray(
+        transform_points(jnp.asarray(pts[sel]), inverse_se3(jnp.asarray(T)))
+    )
+    sfeats = feats[sel]
+    mm = jnp.ones((m,), bool)
+    sm = jnp.ones((n,), bool)
+    eye = jnp.eye(4, dtype=jnp.float32)
+
+    fn = map_sharded_vfm_register(mesh, voxel_size=1.0)
+    pose, count = fn(
+        jnp.asarray(pts), jnp.asarray(feats), mm,
+        jnp.asarray(scan), jnp.asarray(sfeats), sm, eye, 3.0, 0.5,
+    )
+    pose = np.asarray(pose)
+    assert int(count) == n
+
+    # single-device flow on the full map for parity
+    grid = build_hash_grid(jnp.asarray(pts), 1.0, mask=mm)
+    corr = get_vfm_correspondences(
+        jnp.asarray(pts), jnp.asarray(feats), mm,
+        jnp.asarray(scan), jnp.asarray(sfeats), sm,
+    )
+    ref, *_ = register_frame_vfm(grid, jnp.asarray(scan), sm, corr, eye, 3.0, 0.5)
+
+    rte = np.linalg.norm(pose[:3, 3] - T[:3, 3])
+    rre = np.degrees(
+        np.arccos(np.clip((np.trace(pose[:3, :3].T @ T[:3, :3]) - 1) / 2, -1, 1))
+    )
+    assert rte < 0.1, rte
+    assert rre < 0.5, rre
+    np.testing.assert_allclose(pose, np.asarray(ref), atol=5e-4)
+
+
+def test_map_sharded_correspondences_match_single_device(rng):
+    """Exact parity (values AND tie-breaks) of the map-sharded cosine search
+    vs the single-device one, with duplicate-descriptor rows planted across
+    shard boundaries to force cross-device ties."""
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from vfmreg_tpu.ops.matching import (
+        get_vfm_correspondences,
+        get_vfm_correspondences_map_sharded,
+    )
+
+    n_dev = len(jax.devices())
+    mesh = make_mesh(("model",))
+    m, n, d = 1024, 256, 16
+    pts = rng.uniform(-10, 10, (m, 3)).astype(np.float32)
+    feats = rng.normal(size=(m, d)).astype(np.float32)
+    # Plant exact duplicate descriptors in different shards: the winner must
+    # be the LOWEST global row in both programs.
+    shard = m // n_dev
+    feats[3 * shard + 7] = feats[5]
+    feats[6 * shard + 1] = feats[shard + 2]
+    scan_pts = rng.uniform(-10, 10, (n, 3)).astype(np.float32)
+    scan_feats = feats[rng.choice(m, n, replace=False)] + 0.0
+    mm = np.ones((m,), bool)
+    mm[::17] = False  # masked rows exercised too
+    sm = jnp.ones((n,), bool)
+
+    ref = get_vfm_correspondences(
+        jnp.asarray(pts), jnp.asarray(feats), jnp.asarray(mm),
+        jnp.asarray(scan_pts), jnp.asarray(scan_feats), sm,
+    )
+    run = jax.jit(
+        jax.shard_map(
+            lambda mp, mf, mmask, sp, sf, smask: get_vfm_correspondences_map_sharded(
+                mp, mf, mmask, sp, sf, smask, "model"
+            ),
+            mesh=mesh,
+            in_specs=(P("model"), P("model"), P("model"), P(), P(), P()),
+            out_specs=P(),
+            check_vma=False,
+        )
+    )
+    got = run(
+        jnp.asarray(pts), jnp.asarray(feats), jnp.asarray(mm),
+        jnp.asarray(scan_pts), jnp.asarray(scan_feats), sm,
+    )
+    np.testing.assert_array_equal(np.asarray(got.mask), np.asarray(ref.mask))
+    np.testing.assert_allclose(
+        np.asarray(got.similarity), np.asarray(ref.similarity), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.target), np.asarray(ref.target), atol=0
+    )

@@ -22,6 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
+from vfmreg_tpu.geometry.se3 import transform_points
 from vfmreg_tpu.ops.hash_grid import build_hash_grid
 from vfmreg_tpu.ops.matching import get_vfm_correspondences
 from vfmreg_tpu.registration.vfm_icp import register_frame_vfm
@@ -258,6 +259,68 @@ def map_sharded_icp(
             mesh=mesh,
             in_specs=(D, D, R, R, R, R, R),
             out_specs=R,
+            check_vma=False,
+        )
+    )
+
+
+def map_sharded_vfm_register(
+    mesh: Mesh,
+    voxel_size: float,
+    axis: str = "model",
+    min_cosine_similarity: float = 0.8,
+    max_iterations: int = 1000,
+):
+    """The flagship method (cosine matching -> VFM-ICP -> geometric refine)
+    against a map SHARDED over the mesh's `axis` — end-to-end registration for
+    maps beyond one chip's HBM.
+
+    Composition of the two map-sharded primitives:
+
+    * matching: per-shard cosine arg-max, global winner by one all_gather of
+      per-shard sims + matched points (`ops.matching
+      .get_vfm_correspondences_map_sharded`; tie-breaks match the
+      single-device search exactly);
+    * ICP phase 2: per-shard hash grids, one champion-cache all_gather per
+      refresh (see `map_sharded_icp`). Phase 1 is correspondence-driven and
+      needs no map access.
+
+    Returns a jitted callable
+      fn(map_pts [M,3], map_feats [M,D], map_mask [M], scan_pts [N,3],
+         scan_feats [N,D], scan_mask [N], guess [4,4], max_dist, kernel)
+      -> (pose [4,4], corr_count i32)
+    with the map arguments sharded over `axis` along rows (M divisible by the
+    mesh axis size; pad with masked rows), everything else replicated.
+    """
+    from vfmreg_tpu.ops.hash_grid import NNCache
+    from vfmreg_tpu.ops.matching import get_vfm_correspondences_map_sharded
+
+    def _merge(cache: NNCache) -> NNCache:
+        def g(a):
+            return jax.lax.all_gather(a, axis, axis=0, tiled=True)
+
+        return NNCache(cx=g(cache.cx), cy=g(cache.cy), cz=g(cache.cz), rows=g(cache.rows))
+
+    def _body(mp, mf, mm, sp, sf, sm, guess, max_dist, kernel):
+        sp_g = transform_points(sp, guess)
+        corr = get_vfm_correspondences_map_sharded(
+            mp, mf, mm, sp_g, sf, sm, axis,
+            min_cosine_similarity=min_cosine_similarity,
+        )
+        grid = build_hash_grid(mp, voxel_size, mask=mm)
+        pose, _, _, _ = register_frame_vfm(
+            grid, sp, sm, corr, guess, max_dist, kernel,
+            max_iterations=max_iterations, merge_cache=_merge,
+        )
+        return pose, corr.count
+
+    D, R = P(axis), P()
+    return jax.jit(
+        jax.shard_map(
+            _body,
+            mesh=mesh,
+            in_specs=(D, D, D, R, R, R, R, R, R),
+            out_specs=(R, R),
             check_vma=False,
         )
     )

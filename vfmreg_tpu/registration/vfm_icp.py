@@ -57,7 +57,7 @@ class _VFMState(NamedTuple):
 
 
 
-@partial(jax.jit, static_argnames=("max_iterations",))
+@partial(jax.jit, static_argnames=("max_iterations", "merge_cache"))
 @full_precision
 def register_frame_vfm(
     grid: HashGrid,
@@ -68,12 +68,19 @@ def register_frame_vfm(
     max_correspondence_distance,
     kernel,
     max_iterations: int = MAX_NUM_ITERATIONS,
+    merge_cache=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Run the VFM + geometric ICP loops given precomputed VFM correspondences.
 
     `corr` must be computed from the guess-transformed source (the caller owns the
     5 m voxelization + cosine matching — see `pipeline.registration` — because the
     correspondence search is a large matmul best staged outside the while loop).
+
+    `merge_cache` (static callable) is the map-sharded champion merge hook of
+    `registration.icp.geometric_icp_loop`, forwarded to phase 2 — used when
+    `grid` covers one shard of the map rows under `shard_map`
+    (`parallel.mesh.map_sharded_vfm_register`). Phase 1 is correspondence-
+    driven and needs no map access, so it is unaffected by sharding.
 
     Returns (pose[4,4], src_corr[N,3], tgt_corr[N,3], corr_mask[N]) where the
     correspondence arrays mirror the `src_` / `tgt_` out-params of the reference.
@@ -144,6 +151,7 @@ def register_frame_vfm(
         max_iterations,
         ESTIMATION_THRESHOLD,
         it0=s1.it,
+        merge_cache=merge_cache,
     )
 
     # The reference transforms the returned correspondence sources along with
