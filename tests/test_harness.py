@@ -318,11 +318,13 @@ def test_map_descriptor_cache_resets_per_scene(scene_h5):
 
 def test_device_preprocess_parity(scene_h5):
     """Device-side scan preprocessing (`_preprocess_scans_device`) against the
-    host voxelize chain: identical first-wins voxel SETS (order-insensitive),
-    equal correspondence counts, and method-row poses within f32 roundoff of
-    the host-preproc batched path (row order differs — hash-sorted vs
-    insertion-sorted — so RANSAC's sampling, and hence its raw pose, is
-    equivalent rather than bit-identical; the ICP rows run on identical sets)."""
+    host voxelize chain: identical first-wins voxel SETS in the same insertion
+    row order (`ops/voxel.py:voxel_down_sample_masked` maps selections back to
+    original order), equal correspondence counts, and method-row poses within
+    f32 roundoff of the host-preproc batched path (padded operand WIDTHS can
+    still differ between the two paths — the device path buckets to q_budget —
+    so RANSAC's sampling, and hence its raw pose, is equivalent rather than
+    bit-identical; the ICP rows run on identical sets)."""
     from vfmreg_tpu.data.h5io import read_scenes
 
     scene = read_scenes(scene_h5 / "scene_000.h5")

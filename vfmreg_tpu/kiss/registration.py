@@ -37,7 +37,6 @@ from vfmreg_tpu.registration.vfm_icp import register_frame_vfm
 
 VFM_SOURCE_VOXEL = 5.0  # Registration.cpp:217
 VFM_MIN_SOURCE_POINTS = 100  # Registration.cpp:218
-DESCRIPTOR_SIZE = 384  # reference compile-time VFM dim (DescriptorSize.hpp:7)
 
 
 def _pad(points: np.ndarray):

@@ -144,16 +144,46 @@ def sharded_ransac(mesh: Mesh, num_hypotheses: int = 50000, chunk: int = 1024):
 # one per-scan key).
 
 
-@jax.jit
-def batched_snap(corr_src, corr_tgt, corr_mask, scan_pts, scan_mask, map_pts, map_mask):
-    """vmapped snap filter (`registration_node.py:295-310`) over B scans
-    against one shared voxelized map."""
+# The stage BODIES are shared verbatim between the single-device jitted
+# callables below and `sharded_driver_stages`' shard_map wrappers, so the
+# "sharded results match the single-device vmapped stages lane-for-lane"
+# contract is structural, not maintained by hand.
+
+
+def _snap_stage(corr_src, corr_tgt, corr_mask, scan_pts, scan_mask, map_pts, map_mask):
     from vfmreg_tpu.registration.ransac import snap_correspondences
 
     def one(src, tgt, m, sp, sm):
         return snap_correspondences(src, tgt, m, sp, sm, map_pts, map_mask, tol=1e-3)
 
     return jax.vmap(one)(corr_src, corr_tgt, corr_mask, scan_pts, scan_mask)
+
+
+def _ransac_stage(src, tgt, mask, keys, num_hypotheses):
+    from vfmreg_tpu.registration.ransac import ransac_registration
+
+    fn = jax.vmap(
+        lambda s, t, m, k: ransac_registration(
+            s, t, m, k, num_hypotheses=num_hypotheses
+        ).pose
+    )
+    return fn(src, tgt, mask, keys)
+
+
+def _icp_stage(grid, points, mask, guesses, max_dist, kernel):
+    from vfmreg_tpu.registration.icp import register_frame_icp
+
+    fn = jax.vmap(register_frame_icp, in_axes=(None, 0, 0, 0, None, None))
+    return fn(grid, points, mask, guesses, max_dist, kernel)
+
+
+@jax.jit
+def batched_snap(corr_src, corr_tgt, corr_mask, scan_pts, scan_mask, map_pts, map_mask):
+    """vmapped snap filter (`registration_node.py:295-310`) over B scans
+    against one shared voxelized map."""
+    return _snap_stage(
+        corr_src, corr_tgt, corr_mask, scan_pts, scan_mask, map_pts, map_mask
+    )
 
 
 @partial(jax.jit, static_argnames=("num_hypotheses",))
@@ -167,23 +197,25 @@ def batched_ransac(src, tgt, mask, keys, num_hypotheses=50000):
     (an earlier per-scan-dispatch "2 ms" reading predated the first
     device-to-host transfer, before which this platform's block_until_ready
     does not actually block — it was an artifact, not a measurement)."""
-    from vfmreg_tpu.registration.ransac import ransac_registration
-
-    fn = jax.vmap(
-        lambda s, t, m, k: ransac_registration(
-            s, t, m, k, num_hypotheses=num_hypotheses
-        ).pose
-    )
-    return fn(src, tgt, mask, keys)
+    return _ransac_stage(src, tgt, mask, keys, num_hypotheses)
 
 
 @jax.jit
 def batched_icp(grid, points, mask, guesses, max_dist, kernel):
     """vmapped `register_frame_icp` over B scans against one shared grid."""
-    from vfmreg_tpu.registration.icp import register_frame_icp
+    return _icp_stage(grid, points, mask, guesses, max_dist, kernel)
 
-    fn = jax.vmap(register_frame_icp, in_axes=(None, 0, 0, 0, None, None))
-    return fn(grid, points, mask, guesses, max_dist, kernel)
+
+def _gather_nn_cache(cache, axis: str):
+    """all_gather the per-shard champion-cache planes along their row dim —
+    the `merge_cache` hook shared by every map-sharded registration flavor
+    (`map_sharded_icp`, `map_sharded_vfm_register`)."""
+    from vfmreg_tpu.ops.hash_grid import NNCache
+
+    def g(a):
+        return jax.lax.all_gather(a, axis, axis=0, tiled=True)
+
+    return NNCache(cx=g(cache.cx), cy=g(cache.cy), cz=g(cache.cz), rows=g(cache.rows))
 
 
 def map_sharded_icp(
@@ -221,17 +253,11 @@ def map_sharded_icp(
     divisible by the mesh axis size; pad with masked rows) and everything else
     replicated.
     """
-    from vfmreg_tpu.ops.hash_grid import NNCache
     from vfmreg_tpu.registration.icp import REFRESH_INTERVAL, register_frame_icp
 
     if refresh_interval is None:
         refresh_interval = REFRESH_INTERVAL
-
-    def _merge(cache: NNCache) -> NNCache:
-        def g(a):
-            return jax.lax.all_gather(a, axis, axis=0, tiled=True)
-
-        return NNCache(cx=g(cache.cx), cy=g(cache.cy), cz=g(cache.cz), rows=g(cache.rows))
+    _merge = partial(_gather_nn_cache, axis=axis)
 
     def _body(map_pts, map_mask, scan_pts, scan_mask, guess, max_dist, kernel):
         grid = build_hash_grid(
@@ -292,14 +318,9 @@ def map_sharded_vfm_register(
     with the map arguments sharded over `axis` along rows (M divisible by the
     mesh axis size; pad with masked rows), everything else replicated.
     """
-    from vfmreg_tpu.ops.hash_grid import NNCache
     from vfmreg_tpu.ops.matching import get_vfm_correspondences_map_sharded
 
-    def _merge(cache: NNCache) -> NNCache:
-        def g(a):
-            return jax.lax.all_gather(a, axis, axis=0, tiled=True)
-
-        return NNCache(cx=g(cache.cx), cy=g(cache.cy), cz=g(cache.cz), rows=g(cache.rows))
+    _merge = partial(_gather_nn_cache, axis=axis)
 
     def _body(mp, mf, mm, sp, sf, sm, guess, max_dist, kernel):
         sp_g = transform_points(sp, guess)
@@ -343,7 +364,6 @@ def sharded_driver_stages(mesh: Mesh, num_hypotheses: int = 50000):
     divisible by the mesh size (callers pad by replicating a scan row).
     """
     from vfmreg_tpu.ops.matching import get_vfm_correspondences_batched
-    from vfmreg_tpu.registration.ransac import ransac_registration
 
     def _smap(fn, in_specs, out_specs):
         return jax.jit(
@@ -363,34 +383,17 @@ def sharded_driver_stages(mesh: Mesh, num_hypotheses: int = 50000):
         D,
     )
 
-    def _snap(c_src, c_tgt, c_mask, s_pts, s_mask, map_pts, map_mask):
-        from vfmreg_tpu.registration.ransac import snap_correspondences
-
-        def one(src, tgt, m, sp, sm):
-            return snap_correspondences(
-                src, tgt, m, sp, sm, map_pts, map_mask, tol=1e-3
-            )
-
-        return jax.vmap(one)(c_src, c_tgt, c_mask, s_pts, s_mask)
-
-    snap = _smap(_snap, (D, D, D, D, D, R, R), D)
-
+    # The exact single-device stage bodies, placed on the mesh: sharing
+    # `_snap_stage`/`_ransac_stage`/`_icp_stage` with `batched_*` makes the
+    # lane-for-lane agreement contract structural.
+    snap = _smap(_snap_stage, (D, D, D, D, D, R, R), D)
     ransac = _smap(
-        lambda src, tgt, mask, keys: jax.vmap(
-            lambda s, t, m, k: ransac_registration(
-                s, t, m, k, num_hypotheses=num_hypotheses
-            ).pose
-        )(src, tgt, mask, keys),
+        lambda src, tgt, mask, keys: _ransac_stage(
+            src, tgt, mask, keys, num_hypotheses
+        ),
         (D, D, D, D),
         D,
     )
-
-    def _icp(grid, points, mask, guesses, max_dist, kernel):
-        from vfmreg_tpu.registration.icp import register_frame_icp
-
-        fn = jax.vmap(register_frame_icp, in_axes=(None, 0, 0, 0, None, None))
-        return fn(grid, points, mask, guesses, max_dist, kernel)
-
-    icp = _smap(_icp, (R, D, D, D, R, R), D)
+    icp = _smap(_icp_stage, (R, D, D, D, R, R), D)
 
     return {"match": match, "snap": snap, "ransac": ransac, "icp": icp}

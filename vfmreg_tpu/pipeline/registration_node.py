@@ -76,10 +76,12 @@ def _preprocess_scans_device(raw, raw_mask, voxel_size: float, q_budget: int = 4
     voxelize -> KISS double downsample (0.5 v, 1.0 v) -> 5 m query voxelize,
     descriptor columns carried throughout, survivors compacted to the front.
 
-    The voxelized SETS match the host path exactly (same first-wins C-trunc
-    semantics); row ORDER is voxel-hash-sorted rather than insertion-ordered,
-    so downstream RANSAC row sampling sees an equivalent — not bit-identical —
-    correspondence order (`tests/test_harness.py` pins set equality + recall).
+    The voxelized SETS and the ROW ORDER both match the host path: each stage
+    applies first-wins in insertion order and maps the selection back to
+    original row order before compacting (`ops/voxel.py:
+    voxel_down_sample_masked`), so downstream RANSAC row sampling sees the
+    same correspondence order as the host chain (`tests/test_harness.py` pins
+    parity).
 
     Returns (s_xyz [B,N,3], s_feats [B,N,D], s_mask [B,N], s_counts [B],
              q5_xyz [B,Q,3], q5_feats [B,Q,D], q5_mask [B,Q], q5_total [B]).
@@ -150,7 +152,7 @@ class RegistrationNode:
         # Device-side scan preprocessing for the batched path (0.1 m voxelize +
         # double downsample + 5 m query voxelize run as ONE jitted program on
         # the padded scan batch instead of per-scan host numpy). Same first-wins
-        # voxel SETS as the host chain; hash-sorted row order (see
+        # voxel sets AND insertion row order as the host chain (see
         # `_preprocess_scans_device`). Default: on for TPU; the CPU default
         # stays on the host chain so the batched==serial bit-identity pins in
         # tests/test_harness.py keep their exact meaning (device-preproc parity
