@@ -321,3 +321,37 @@ def test_device_map_merge_bootstrap_not_empty(rng):
     m.update(rng.uniform(-5, 5, (300, 3)), np.eye(4))
     assert m._grid is not None
     assert int(m._grid.num_points) > 0
+
+
+class CorridorXDDataset(CorridorDataset):
+    """Corridor frames carrying D descriptor columns (position-derived, so
+    they are consistent across frames like projected VFM features)."""
+
+    def __init__(self, n_frames=5, d=8, seed=0):
+        super().__init__(n_frames=n_frames, seed=seed)
+        W = self.rng.normal(size=(3, d)).astype(np.float32)
+        feats = np.sin(self.world @ W * 0.2).astype(np.float32)
+        out = []
+        for i, T in enumerate(self.gt_poses):
+            local = (self.world - T[:3, 3]).astype(np.float32)
+            keep = (np.linalg.norm(local, axis=1) < 25.0) & (local[:, 0] > -1.0)
+            out.append(np.c_[local[keep], feats[keep]])
+        self.frames = out
+
+
+@pytest.mark.slow
+def test_odometry_pipeline_use_descriptors_v2(tmp_path):
+    """The reference OdometryServer's v2 mode (`OdometryServer.cpp:87-95`,
+    use_descriptors_=true): descriptor columns survive voxelization and the
+    odometry registers on the XD cosine-weighted path. The corridor trajectory
+    must still be recovered."""
+    config_yaml = tmp_path / "cfg.yaml"
+    config_yaml.write_text(f"out_dir: {tmp_path}/results\n")
+    ds = CorridorXDDataset(n_frames=5)
+    pipe = OdometryPipeline(ds, config=config_yaml, use_descriptors=True)
+    results = pipe.run()
+    assert not results.empty()
+    poses = np.load(tmp_path / "results" / "latest" / "corridor_poses.npy")
+    assert poses.shape == (5, 4, 4)
+    assert abs(poses[-1][0, 3] - 4.0) < 0.5  # ~1 m/frame forward motion
+    assert abs(poses[-1][1, 3]) < 0.3

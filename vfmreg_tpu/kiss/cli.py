@@ -24,6 +24,13 @@ def main():
     parser.add_argument("--n-scans", default=-1, type=int)
     parser.add_argument("--jump", default=0, type=int)
     parser.add_argument(
+        "--use-descriptors",
+        action="store_true",
+        help="Keep descriptor columns through voxelization and register on "
+        "the XD cosine-weighted path (the reference OdometryServer's v2 "
+        "mode); default drops extra columns like v0/v1.",
+    )
+    parser.add_argument(
         "--platform",
         default=None,
         type=str,
@@ -51,6 +58,7 @@ def main():
         max_range=args.max_range,
         n_scans=args.n_scans,
         jump=args.jump,
+        use_descriptors=args.use_descriptors,
     )
     results = pipeline.run()
     print(results)

@@ -74,6 +74,7 @@ class OdometryPipeline:
         n_scans: int = -1,
         jump: int = 0,
         visualizer=None,
+        use_descriptors: bool = False,
     ):
         self._dataset = dataset
         self._n_scans = (
@@ -101,6 +102,12 @@ class OdometryPipeline:
         # Pluggable visualization callback replaces the rviz/Open3D visualizer
         # (ROS is viz-only in the reference, `README.md:111`).
         self.visualizer = visualizer
+        # The reference OdometryServer's mode matrix (`ros/ros1/OdometryServer
+        # .cpp:77-95`): v0/v1 register on xyz (extra point columns dropped);
+        # v2 (`use_descriptors_=true`) keeps descriptor columns through
+        # voxelization and registers on the XD cosine-weighted path
+        # (`kiss.registration.register_frame` descriptor dispatch).
+        self.use_descriptors = use_descriptors
 
     # ------------------------------------------------------------------ public
     def run(self) -> PipelineResults:
@@ -133,7 +140,9 @@ class OdometryPipeline:
         )
         for raw_frame, timestamps in frames:
             start = time.perf_counter_ns()
-            pose, keypoints, _ = self.odometry.register_frame(raw_frame, timestamps)
+            pose, keypoints, _ = self.odometry.register_frame(
+                raw_frame, timestamps, use_descriptors=self.use_descriptors
+            )
             self.times.append(time.perf_counter_ns() - start)
             if self.visualizer is not None:
                 self.visualizer(pose, keypoints, self.odometry.local_map)
