@@ -144,30 +144,56 @@ def test_batched_driver_matches_serial(scene_h5):
     serial per-scan loop: same voxelizations, same per-scan PRNG streams,
     jax's while-loop batching masks per-lane carries (VERDICT r2 item 3).
 
-    GT / vanilla-ICP rows are bit-identical. The vfm RANSAC rows go through
-    `parallel.mesh.batched_ransac` (vmapped lanes of the same program), whose
-    poses agree with the serial dispatches to f32 roundoff (<=1e-7); after the
-    ICP refinement (GN exit at |dx| < 1e-4) the error values may differ at the
-    solver-tolerance level, far below the 0.3 m / 0.6 m recall gates."""
+    With the PLAIN vmapped stages, GT / vanilla-ICP rows are bit-identical.
+    The vfm RANSAC rows go through `parallel.mesh.batched_ransac` (vmapped
+    lanes of the same program), whose poses agree with the serial dispatches
+    to f32 roundoff (<=1e-7); after the ICP refinement (GN exit at
+    |dx| < 1e-4) the error values may differ at the solver-tolerance level,
+    far below the 0.3 m / 0.6 m recall gates.
+
+    On a multi-device host the batched driver instead places its stages with
+    `shard_map` (`parallel.mesh.sharded_driver_stages`), where XLA may
+    schedule the f32 reductions differently from plain jit — those rows are
+    pinned at solver roundoff (~1e-6 observed), with the recall-level
+    agreement asserted by `__graft_entry__.dryrun_multichip` and
+    `tests/test_parallel.py`."""
     results = {}
-    for batch in (True, False):
+    for mode in ("sharded", "vmapped", "serial"):
         node = RegistrationNode(
             scene_h5,
             methods_ransac=[("vfm", True)],
             methods_teaser=[],
             methods_pointdsc=[],
-            batch_scans=batch,
+            batch_scans=mode != "serial",
         )
+        if mode == "vmapped":
+            # Force the single-device vmapped stages (the bit-identity
+            # contract); "sharded" keeps whatever the host's mesh gives.
+            # `_sharded_ransac` stays: at b < n_dev the batched and serial
+            # paths both shard the hypothesis budget per scan, so keeping it
+            # preserves the identical PRNG stream the parity pin relies on.
+            node._sharded_stages = None
+        if mode == "sharded" and node._sharded_stages is None:
+            continue  # single-device host: covered by "vmapped"
         node.make_step()
-        results[batch] = (node.trans_errors, node.rot_errors)
-    for method in results[True][0]:
+        results[mode] = (node.trans_errors, node.rot_errors)
+    for method in results["vmapped"][0]:
         for kind in (0, 1):
-            a = results[True][kind][method]
-            b = results[False][kind][method]
+            b = results["serial"][kind][method]
+            a = results["vmapped"][kind][method]
             if "ransac" in method:
                 np.testing.assert_allclose(a, b, atol=2e-3, err_msg=method)
             else:
                 np.testing.assert_array_equal(a, b, err_msg=method)
+            if "sharded" in results and method != "vfm_ransac":
+                # The RAW vfm_ransac row is skipped: the mesh splits the
+                # hypothesis budget over per-device key streams
+                # (`parallel.mesh.sharded_ransac`), so a different — equally
+                # valid — min-RMSE winner can surface; its quality is pinned
+                # in tests/test_parallel.py and its ICP refinement below.
+                s = results["sharded"][kind][method]
+                tol = 2e-3 if "ransac" in method else 1e-5
+                np.testing.assert_allclose(s, b, atol=tol, err_msg=f"sharded {method}")
 
 
 def test_error_dump_and_print(scene_h5, tmp_path):
