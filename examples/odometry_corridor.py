@@ -14,9 +14,7 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))  # repo-root run
 
 import argparse
-import sys
 import tempfile
-from pathlib import Path
 
 import jax
 

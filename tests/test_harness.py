@@ -3,6 +3,7 @@ RegistrationNode method matrix (vfm + fpfh), check recall and error dumps."""
 
 import pickle
 
+import jax
 import numpy as np
 import pytest
 
@@ -159,6 +160,8 @@ def test_batched_driver_matches_serial(scene_h5):
     `tests/test_parallel.py`."""
     results = {}
     for mode in ("sharded", "vmapped", "serial"):
+        if mode == "sharded" and len(jax.devices()) < 2:
+            continue  # single-device host: covered by "vmapped"
         node = RegistrationNode(
             scene_h5,
             methods_ransac=[("vfm", True)],
@@ -173,8 +176,6 @@ def test_batched_driver_matches_serial(scene_h5):
             # paths both shard the hypothesis budget per scan, so keeping it
             # preserves the identical PRNG stream the parity pin relies on.
             node._sharded_stages = None
-        if mode == "sharded" and node._sharded_stages is None:
-            continue  # single-device host: covered by "vmapped"
         node.make_step()
         results[mode] = (node.trans_errors, node.rot_errors)
     for method in results["vmapped"][0]:
@@ -191,6 +192,13 @@ def test_batched_driver_matches_serial(scene_h5):
                 # (`parallel.mesh.sharded_ransac`), so a different — equally
                 # valid — min-RMSE winner can surface; its quality is pinned
                 # in tests/test_parallel.py and its ICP refinement below.
+                # The refined row (vfm_ransac_icp) IS pinned even though its
+                # seed pose may differ: these are error MAGNITUDES vs GT, and
+                # on this scene every valid winner refines to sub-mm, so
+                # |err_a - err_b| <= err_a + err_b << 2e-3. A violation means
+                # the sharded pipeline produced a genuinely bad registration
+                # (a real regression), not benign seed drift — and the scene/
+                # keys are fixed, so the check is deterministic per host.
                 s = results["sharded"][kind][method]
                 tol = 2e-3 if "ransac" in method else 1e-5
                 np.testing.assert_allclose(s, b, atol=tol, err_msg=f"sharded {method}")

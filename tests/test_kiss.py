@@ -109,9 +109,14 @@ def _corridor_scan(rng, n=1500):
 class CorridorDataset:
     """Vehicle drives straight down a corridor at 1 m/frame."""
 
-    def __init__(self, n_frames=8, seed=0):
+    def __init__(self, n_frames=8, seed=0, d=0):
         self.rng = np.random.RandomState(seed)
         self.world = _corridor_scan(self.rng, 8000)
+        if d:
+            # Position-derived descriptor columns: consistent across frames,
+            # like projected VFM features.
+            W = self.rng.normal(size=(3, d)).astype(np.float32)
+            feats = np.sin(self.world @ W * 0.2).astype(np.float32)
         self.gt_poses = []
         self.frames = []
         for i in range(n_frames):
@@ -120,7 +125,10 @@ class CorridorDataset:
             self.gt_poses.append(T)
             local = (self.world - T[:3, 3]).astype(np.float32)
             keep = (np.linalg.norm(local, axis=1) < 25.0) & (local[:, 0] > -1.0)
-            self.frames.append(local[keep])
+            frame = local[keep]
+            if d:
+                frame = np.c_[frame, feats[keep]]
+            self.frames.append(frame)
         self.sequence_id = "corridor"
 
     def __len__(self):
@@ -324,19 +332,10 @@ def test_device_map_merge_bootstrap_not_empty(rng):
 
 
 class CorridorXDDataset(CorridorDataset):
-    """Corridor frames carrying D descriptor columns (position-derived, so
-    they are consistent across frames like projected VFM features)."""
+    """Corridor frames carrying D descriptor columns (CorridorDataset's `d`)."""
 
     def __init__(self, n_frames=5, d=8, seed=0):
-        super().__init__(n_frames=n_frames, seed=seed)
-        W = self.rng.normal(size=(3, d)).astype(np.float32)
-        feats = np.sin(self.world @ W * 0.2).astype(np.float32)
-        out = []
-        for i, T in enumerate(self.gt_poses):
-            local = (self.world - T[:3, 3]).astype(np.float32)
-            keep = (np.linalg.norm(local, axis=1) < 25.0) & (local[:, 0] > -1.0)
-            out.append(np.c_[local[keep], feats[keep]])
-        self.frames = out
+        super().__init__(n_frames=n_frames, seed=seed, d=d)
 
 
 @pytest.mark.slow
