@@ -354,3 +354,53 @@ def test_odometry_pipeline_use_descriptors_v2(tmp_path):
     assert poses.shape == (5, 4, 4)
     assert abs(poses[-1][0, 3] - 4.0) < 0.5  # ~1 m/frame forward motion
     assert abs(poses[-1][1, 3]) < 0.3
+
+
+def test_eval_helpers_accumulate_table_and_plots(tmp_path):
+    """`kiss.eval` (reference eval/kiss_icp_eval.py): run_sequence folds each
+    sequence's metrics/trajectory into the shared results dict, the table
+    averages across sequences, and plotting writes one PNG per sequence."""
+    from vfmreg_tpu.kiss.eval import (
+        metrics_table,
+        plot_trajectories,
+        run_sequence,
+    )
+    from vfmreg_tpu.kiss.pipeline import PipelineResults
+
+    class _StubPipeline:
+        dataset_name = "Corridor"
+
+        def __init__(self, sequence):
+            self.dataset_sequence = f"{sequence:02d}"
+            n = 4
+            self.poses = [np.eye(4) for _ in range(n)]
+            for i, T in enumerate(self.poses):
+                T[0, 3] = float(i)
+            self.gt_poses = np.stack(self.poses)
+            self._ate = 0.1 * (sequence + 1)
+
+        def run(self):
+            r = PipelineResults()
+            r.append("Absolute Trajectory Error (ATE)", "m", self._ate)
+            r.append("Average Frequency", "Hz", 10.0)
+            return r
+
+    results = {}
+    for seq in (0, 1):
+        run_sequence(_StubPipeline, results, sequence=seq)
+
+    assert results["dataset_name"] == "Corridor"
+    assert set(results["trajectories"]) == {"00", "01"}
+    assert results["trajectories"]["00"]["poses"].shape == (4, 4, 4)
+    ate = results["metrics"]["Absolute Trajectory Error (ATE)"]
+    assert ate.units == "m" and ate.values == [pytest.approx(0.1), pytest.approx(0.2)]
+
+    table = metrics_table(results, title="corridor")
+    assert "# Experiment Results corridor" in table
+    assert "Absolute Trajectory Error (ATE)| 0.15|m |" in table
+    assert "Average Frequency| 10.00|Hz |" in table
+
+    figs = plot_trajectories(results, output_dir=str(tmp_path))
+    assert len(figs) == 2
+    assert (tmp_path / "00_trajectory.png").exists()
+    assert (tmp_path / "01_trajectory.png").exists()

@@ -119,7 +119,14 @@ def absolute_trajectory_error(
     poses_gt: Sequence[np.ndarray], poses_result: Sequence[np.ndarray]
 ) -> Tuple[float, float]:
     """(ATE_rot [rad], ATE_trans [m]) RMSE after Umeyama alignment
-    (`Metrics.cpp:157-191`)."""
+    (`Metrics.cpp:157-191`).
+
+    Caveat shared with the reference: the alignment uses POSITIONS only, so on
+    a (near-)collinear trajectory the position covariance is rank-1 and the
+    Umeyama rotation about the line axis is noise-determined — ATE_rot can
+    read large (radians) even for near-perfect poses. `Eigen::umeyama`
+    degenerates identically; judge ATE_rot only on trajectories with 3-D
+    structure."""
     assert len(poses_gt) == len(poses_result)
     src = np.stack([p[:3, 3] for p in poses_result], axis=1)
     tgt = np.stack([p[:3, 3] for p in poses_gt], axis=1)
