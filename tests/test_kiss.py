@@ -1,6 +1,8 @@
 """kiss layer: VoxelHashMap host API, register_frame dispatch, KissICP odometry
 on a synthetic corridor trajectory, OdometryPipeline outputs."""
 
+from pathlib import Path
+
 import numpy as np
 import pytest
 from scipy.spatial.transform import Rotation as R
@@ -404,3 +406,28 @@ def test_eval_helpers_accumulate_table_and_plots(tmp_path):
     assert len(figs) == 2
     assert (tmp_path / "00_trajectory.png").exists()
     assert (tmp_path / "01_trajectory.png").exists()
+
+
+def test_shipped_config_files_parse():
+    """The in-tree example configs (configs/{basic,advanced}.yaml — role of the
+    reference's src/kiss-icp/config/) load through load_config with every key
+    landing on a real field."""
+    root = Path(__file__).resolve().parent.parent
+    basic = load_config(root / "configs" / "basic.yaml")
+    assert basic.data.max_range == 100.0 and basic.data.min_range == 5.0
+    assert basic.mapping.voxel_size == 1.0  # derived max_range / 100
+    adv = load_config(root / "configs" / "advanced.yaml")
+    assert adv.data.deskew is True and adv.data.min_range == 0.0
+    assert adv.mapping.voxel_size == 1.0  # explicit in the file
+    assert adv.adaptive_threshold.fixed_threshold == 0.3
+    assert adv.mapping.map_merge_interval == 1
+    # Every YAML key must land on a real config field (no silent typos).
+    import yaml
+
+    for fname in ("basic.yaml", "advanced.yaml"):
+        with open(root / "configs" / fname) as f:
+            data = yaml.safe_load(f)
+        cfg = KISSConfig()
+        for section_name in ("data", "mapping", "adaptive_threshold"):
+            for k in (data.get(section_name) or {}):
+                assert hasattr(getattr(cfg, section_name), k), (fname, section_name, k)
