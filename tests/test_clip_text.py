@@ -138,3 +138,17 @@ def test_compute_similarity_with_prompt():
     assert sims[2] == 0.0
     emb = gen.encode_text("low")
     np.testing.assert_allclose(sims, gen.compute_similarity(feats, emb))
+
+
+def test_vendored_bpe_vocab_canonical_ids():
+    """The vendored merge table (data/clip/bpe_simple_vocab_16e6.txt.gz — the
+    reference ships the same artifact at src/featup_data/) reproduces OpenAI
+    CLIP's canonical token ids for the standard probe prompt."""
+    from vfmreg_tpu.models.clip_text import DEFAULT_BPE_PATH
+
+    assert DEFAULT_BPE_PATH.exists()
+    tok = SimpleTokenizer()  # defaults to the vendored table
+    ids = tok.tokenize(["a photo of a cat"])
+    assert ids.shape == (1, 77)
+    row = [int(x) for x in ids[0] if x != 0]
+    assert row == [49406, 320, 1125, 539, 320, 2368, 49407]

@@ -11,8 +11,9 @@ mapping, lowercasing, the CLIP word regex, BPE merges with the trailing
 `</w>` convention, `<|startoftext|>`/`<|endoftext|>` wrapping, context length
 77 with zero padding and truncation (ftfy's text fixing is skipped: prompts in
 the harness are plain ASCII). The merge table loads from the standard
-`bpe_simple_vocab_16e6.txt.gz` (a dataset artifact, fetched via
-`pipeline.download_models`, never vendored).
+`bpe_simple_vocab_16e6.txt.gz`, vendored at `data/clip/` like the reference
+vendors it at `src/featup_data/` (a dataset artifact; also fetchable via
+`pipeline.download_models`).
 
 Text encoder: token embed + positional embed -> width-W pre-LN transformer
 with QuickGELU MLPs and a causal mask -> ln_final -> the end-of-text token's
@@ -27,6 +28,7 @@ import html
 import math
 import re
 from functools import lru_cache, partial
+from pathlib import Path
 from typing import Any, Dict, List
 
 import jax
@@ -34,6 +36,12 @@ import jax.numpy as jnp
 import numpy as np
 
 CONTEXT_LENGTH = 77
+
+# Vendored merge table (repo-root data/clip/, mirroring the reference's
+# src/featup_data/bpe_simple_vocab_16e6.txt.gz).
+DEFAULT_BPE_PATH = (
+    Path(__file__).resolve().parents[2] / "data" / "clip" / "bpe_simple_vocab_16e6.txt.gz"
+)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -78,11 +86,19 @@ class SimpleTokenizer:
 
     `merges` is the decoded list of merge lines (as in
     bpe_simple_vocab_16e6.txt.gz rows 1..49152-256-2+1); pass `bpe_path` to
-    load the standard gzip instead.
+    load the standard gzip instead. With neither, the vendored table at
+    `data/clip/bpe_simple_vocab_16e6.txt.gz` (repo root) is used.
     """
 
     def __init__(self, bpe_path: str = None, merges: List[str] = None):
         self.byte_encoder = bytes_to_unicode()
+        if merges is None and bpe_path is None:
+            bpe_path = DEFAULT_BPE_PATH
+            if not bpe_path.exists():
+                raise FileNotFoundError(
+                    f"CLIP BPE merge table not found at {bpe_path}; pass "
+                    "bpe_path/merges or fetch it with vfmreg-download-models"
+                )
         if merges is None:
             with gzip.open(bpe_path, "rt", encoding="utf8") as f:
                 merges = f.read().split("\n")
