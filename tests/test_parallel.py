@@ -347,3 +347,67 @@ def test_map_sharded_correspondences_match_single_device(rng):
     np.testing.assert_allclose(
         np.asarray(got.target), np.asarray(ref.target), atol=0
     )
+
+
+def test_dp_map_sharded_vfm_register_matches_single_device(rng):
+    """dp x tp (2-D mesh): 4 scans sharded over `data`, one map tp-sharded
+    over `model`. Every scan must recover its planted GT and match the
+    single-device `register_frame_vfm` flow per scan."""
+    import jax.numpy as jnp
+
+    from vfmreg_tpu.ops.hash_grid import build_hash_grid
+    from vfmreg_tpu.ops.matching import get_vfm_correspondences
+    from vfmreg_tpu.parallel.mesh import dp_map_sharded_vfm_register
+    from vfmreg_tpu.registration.vfm_icp import register_frame_vfm
+
+    n_dev = len(jax.devices())
+    if n_dev % 2:
+        pytest.skip("needs an even device count for a 2-D mesh")
+    mesh = make_mesh(("data", "model"), shape=(2, n_dev // 2))
+
+    m, n, d, b = 8192, 1024, 32, 4
+    pts = np.c_[
+        rng.uniform(-25, 25, (m, 2)), rng.uniform(0, 6, (m, 1))
+    ].astype(np.float32)
+    feats = np.sin(pts @ rng.normal(size=(3, d)).astype(np.float32) * 0.15)
+    scans, sfeats, gts = [], [], []
+    for j in range(b):
+        T = np.eye(4, dtype=np.float32)
+        T[:3, :3] = R.from_euler("z", 5.0 + 4.0 * j, degrees=True).as_matrix()
+        T[:3, 3] = [1.0 + j, -2.0 + 0.5 * j, 0.2]
+        sel = rng.choice(m, n, replace=False)
+        scans.append(
+            np.asarray(transform_points(jnp.asarray(pts[sel]), inverse_se3(jnp.asarray(T))))
+        )
+        sfeats.append(feats[sel])
+        gts.append(T)
+    sps = jnp.asarray(np.stack(scans))
+    sfs = jnp.asarray(np.stack(sfeats))
+    sms = jnp.ones((b, n), bool)
+    guesses = jnp.tile(jnp.eye(4, dtype=jnp.float32), (b, 1, 1))
+    mm = jnp.ones((m,), bool)
+
+    fn = dp_map_sharded_vfm_register(mesh, voxel_size=1.0)
+    poses, counts = fn(
+        jnp.asarray(pts), jnp.asarray(feats), mm, sps, sfs, sms, guesses, 3.0, 0.5
+    )
+    poses = np.asarray(poses)
+    assert list(np.asarray(counts)) == [n] * b
+
+    grid = build_hash_grid(jnp.asarray(pts), 1.0, mask=mm)
+    for j in range(b):
+        corr = get_vfm_correspondences(
+            jnp.asarray(pts), jnp.asarray(feats), mm, sps[j], sfs[j], sms[j]
+        )
+        ref, *_ = register_frame_vfm(
+            grid, sps[j], sms[j], corr, jnp.eye(4, dtype=jnp.float32), 3.0, 0.5
+        )
+        rte = np.linalg.norm(poses[j][:3, 3] - gts[j][:3, 3])
+        rre = np.degrees(
+            np.arccos(
+                np.clip((np.trace(poses[j][:3, :3].T @ gts[j][:3, :3]) - 1) / 2, -1, 1)
+            )
+        )
+        assert rte < 0.1, (j, rte)
+        assert rre < 0.5, (j, rre)
+        np.testing.assert_allclose(poses[j], np.asarray(ref), atol=5e-4)

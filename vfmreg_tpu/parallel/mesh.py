@@ -347,6 +347,70 @@ def map_sharded_vfm_register(
     )
 
 
+def dp_map_sharded_vfm_register(
+    mesh: Mesh,
+    voxel_size: float,
+    data_axis: str = "data",
+    model_axis: str = "model",
+    min_cosine_similarity: float = 0.8,
+    max_iterations: int = 1000,
+):
+    """dp x tp flagship registration on a 2-D mesh: a BATCH of scans
+    data-parallel over `data_axis`, each registering against ONE shared map
+    tensor-parallel over `model_axis` — the production serving layout when the
+    map outgrows a chip's HBM AND throughput needs more than one replica.
+
+    Composition of the two existing axes with zero new collectives:
+
+    * each (data, model) device holds `B/n_data` scans and `M/n_model` map
+      rows; the per-shard hash grid builds ONCE per device and is shared by
+      all local scans (vmap closes over it);
+    * matching + champion-cache merges all_gather over `model_axis` only
+      (the same exact-parity merges as `map_sharded_vfm_register`); scans are
+      independent, so `data_axis` needs no collective at all.
+
+    Returns a jitted callable
+      fn(map_pts [M,3], map_feats [M,D], map_mask [M], scan_pts [B,N,3],
+         scan_feats [B,N,D], scan_mask [B,N], guesses [B,4,4], max_dist,
+         kernel) -> (poses [B,4,4], corr_counts [B])
+    with map arguments sharded over `model_axis` along rows, scan arguments
+    sharded over `data_axis` along the batch dim (M divisible by the model
+    axis size, B by the data axis size; pad with masked rows / replicated
+    scans), max_dist/kernel replicated.
+    """
+    from vfmreg_tpu.ops.matching import get_vfm_correspondences_map_sharded
+
+    _merge = partial(_gather_nn_cache, axis=model_axis)
+
+    def _body(mp, mf, mm, sps, sfs, sms, guesses, max_dist, kernel):
+        grid = build_hash_grid(mp, voxel_size, mask=mm)
+
+        def _one(sp, sf, sm, guess):
+            sp_g = transform_points(sp, guess)
+            corr = get_vfm_correspondences_map_sharded(
+                mp, mf, mm, sp_g, sf, sm, model_axis,
+                min_cosine_similarity=min_cosine_similarity,
+            )
+            pose, _, _, _ = register_frame_vfm(
+                grid, sp, sm, corr, guess, max_dist, kernel,
+                max_iterations=max_iterations, merge_cache=_merge,
+            )
+            return pose, corr.count
+
+        return jax.vmap(_one)(sps, sfs, sms, guesses)
+
+    Dm, Dd, R = P(model_axis), P(data_axis), P()
+    return jax.jit(
+        jax.shard_map(
+            _body,
+            mesh=mesh,
+            in_specs=(Dm, Dm, Dm, Dd, Dd, Dd, Dd, R, R),
+            out_specs=(Dd, Dd),
+            check_vma=False,
+        )
+    )
+
+
 def sharded_driver_stages(mesh: Mesh, num_hypotheses: int = 50000):
     """The batched driver stages with the SCAN axis sharded over the mesh's
     `data` axis and the map replicated (it fits one chip; scans don't need it
