@@ -477,3 +477,66 @@ def test_device_preprocess_retry_non_integer_voxel_size(tmp_path):
     # the explicit 1 m pass the device row would carry ~4x the queries.
     assert host["corr_counts"] == dev["corr_counts"]
     np.testing.assert_allclose(dev["gt"], host["gt"], atol=1e-4)
+
+
+def test_device_preprocess_q5_budget_overflow_rematches(scene_h5, capsys):
+    """A scan with more occupied 5 m voxels than the static query budget is
+    re-matched at full width (sync-1 overflow path), so correspondence counts
+    and method-row poses equal the host chain's instead of silently running
+    on a truncated query set."""
+    from vfmreg_tpu.data.h5io import read_scenes
+
+    scene = read_scenes(scene_h5 / "scene_000.h5")
+    results = {}
+    for dev_pre in (False, True):
+        node = RegistrationNode(
+            scene_h5,
+            methods_ransac=[("vfm", True)],
+            methods_teaser=[],
+            methods_pointdsc=[],
+            batch_scans=True,
+            device_preprocess=dev_pre,
+        )
+        if dev_pre:
+            node._q5_budget = 4  # force overflow on every scan
+        local_map = node._accumulate_map(scene)
+        results[dev_pre] = node._precompute_scene_batched(scene, local_map)
+    assert "re-matching them at full width" in capsys.readouterr().out
+    host, dev = results[False], results[True]
+    assert host["corr_counts"] == dev["corr_counts"]
+    assert host["retried"] == dev["retried"]
+    np.testing.assert_allclose(dev["gt"], host["gt"], atol=1e-4)
+    np.testing.assert_allclose(
+        dev["vfm_ransac_icp"], host["vfm_ransac_icp"], atol=5e-3
+    )
+
+
+def test_device_preprocess_skips_query_pass_without_vfm(scene_h5):
+    """`want_query=False` (vfm-free method matrix) skips the 5 m voxelize
+    entirely — q5 outputs are None — and the driver still completes the
+    non-vfm rows on the device-preprocess path."""
+    import jax.numpy as jnp
+
+    from vfmreg_tpu.pipeline.registration_node import _preprocess_scans_device
+
+    raw = jnp.zeros((2, 64, 11), jnp.float32)
+    raw = raw.at[:, :, :3].set(
+        jnp.asarray(np.random.RandomState(0).uniform(-20, 20, (2, 64, 3)), jnp.float32)
+    )
+    mask = jnp.ones((2, 64), bool)
+    p, f, m, c, q5x, q5f, q5m, q5t = _preprocess_scans_device(
+        raw, mask, voxel_size=1.0, want_query=False
+    )
+    assert q5x is None and q5f is None and q5m is None and q5t is None
+    assert p.shape == (2, 64, 3) and f.shape == (2, 64, 8)
+
+    node = RegistrationNode(
+        scene_h5,
+        methods_ransac=[],
+        methods_teaser=[],
+        methods_pointdsc=[],
+        batch_scans=True,
+        device_preprocess=True,
+    )
+    node.make_step()
+    assert len(node.trans_errors["icp"]) == 2

@@ -341,16 +341,28 @@ class CorridorXDDataset(CorridorDataset):
 
 
 @pytest.mark.slow
-def test_odometry_pipeline_use_descriptors_v2(tmp_path):
+def test_odometry_pipeline_use_descriptors_v2(tmp_path, monkeypatch):
     """The reference OdometryServer's v2 mode (`OdometryServer.cpp:87-95`,
     use_descriptors_=true): descriptor columns survive voxelization and the
-    odometry registers on the XD cosine-weighted path. The corridor trajectory
-    must still be recovered."""
+    odometry registers on the XD cosine-weighted path — like the reference's
+    server, which always registers through the XD overload
+    (`Registration.cpp:384-422`), NEVER VFM-ICP. The corridor trajectory must
+    still be recovered."""
+    import vfmreg_tpu.kiss.registration as kreg
+
+    xd_calls = []
+    real_xd = kreg.register_frame_icp_xd
+    monkeypatch.setattr(
+        kreg, "register_frame_icp_xd",
+        lambda *a, **k: (xd_calls.append(1), real_xd(*a, **k))[1],
+    )
     config_yaml = tmp_path / "cfg.yaml"
     config_yaml.write_text(f"out_dir: {tmp_path}/results\n")
     ds = CorridorXDDataset(n_frames=5)
     pipe = OdometryPipeline(ds, config=config_yaml, use_descriptors=True)
     results = pipe.run()
+    # Every non-empty-map frame went through the weighted XD dispatch.
+    assert len(xd_calls) == 4, len(xd_calls)
     assert not results.empty()
     poses = np.load(tmp_path / "results" / "latest" / "corridor_poses.npy")
     assert poses.shape == (5, 4, 4)

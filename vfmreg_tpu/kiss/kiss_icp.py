@@ -67,6 +67,10 @@ class KissICP:
             initial_guess=initial_guess,
             max_correspondance_distance=3 * sigma,
             kernel=sigma / 3,
+            # Odometry registers through the XD overload like the reference's
+            # C++ server (v2 keeps descriptors -> cosine-weighted champion NN;
+            # `OdometryServer.cpp:87-95`); it never runs VFM-ICP.
+            force_xd=use_descriptors,
         )
 
         # Map update gated by motion (`kiss_icp.py:104-111`)

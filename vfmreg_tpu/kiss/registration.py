@@ -59,6 +59,7 @@ def register_frame(
     src_: Optional[np.ndarray] = None,
     tgt_: Optional[np.ndarray] = None,
     vfm_descriptor_size: Optional[int] = None,
+    force_xd: bool = False,
 ):
     import jax.numpy as jnp
 
@@ -81,6 +82,14 @@ def register_frame(
         # Reference-exact dispatch: only the compile-time VFM dim routes Nd
         # (`registration.py:37`, `_point_size()`); everything else is XD.
         is_vfm = is_vfm and D == vfm_descriptor_size
+    if force_xd:
+        # The reference's C++ odometry server (v1/v2 modes) converts clouds to
+        # VectorXd and ALWAYS registers through the XD overload
+        # (`OdometryServer.cpp:77-95` -> `KissICP.cpp` VectorXd RegisterFrame
+        # -> `Registration.cpp:384-422`) regardless of the descriptor dim —
+        # the odometry path never runs VFM-ICP. KissICP.register_frame sets
+        # this for its descriptor mode.
+        is_vfm = False
 
     if not is_vfm:
         xyz, mask = _pad(np.ascontiguousarray(points[:, :3], dtype=np.float32))

@@ -463,6 +463,31 @@ class NNCache(NamedTuple):
     rows: jnp.ndarray  # [32, N] i32
 
 
+def _argmin_first(metric: jnp.ndarray, axis: int):
+    """`(min, one-hot-of-first-min)` along `axis` — the champion-reduce
+    contract every NN flavor shares: ties resolve to the LOWEST candidate
+    index (insertion order, like the reference's sequential scan), and +inf
+    sentinel lanes (INVALID_COORD squares overflow) can never win while any
+    real candidate exists. Selection happens by one-hot sums at the call
+    sites — no gathers on these paths."""
+    best = jnp.min(metric, axis=axis)
+    k = metric.shape[axis]
+    shape = [1] * metric.ndim
+    shape[axis % metric.ndim] = k
+    iota = jnp.arange(k, dtype=jnp.int32).reshape(shape)
+    ksel = jnp.min(
+        jnp.where(metric == jnp.expand_dims(best, axis), iota, jnp.int32(2**30)),
+        axis=axis,
+    )
+    onehot = iota == jnp.expand_dims(ksel, axis)
+    return best, onehot
+
+
+def _select(onehot: jnp.ndarray, arr: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """One-hot champion selection sum (gather-free)."""
+    return jnp.sum(jnp.where(onehot, arr, 0.0), axis=axis)
+
+
 def build_nn_cache(
     cands: Candidates,
     queries: jnp.ndarray,
@@ -481,18 +506,11 @@ def build_nn_cache(
     dz = zs - queries[:, None, 2:3]
     d2 = dx * dx + dy * dy + dz * dz  # sentinels overflow to +inf
 
-    # Champion per voxel WITHOUT gathers: min + one-hot selection sums.
-    lanes = d2.shape[-1]
-    best_d2 = jnp.min(d2, axis=-1)  # [N, 27]
-    iota = jnp.arange(lanes, dtype=jnp.int32)
-    ksel = jnp.min(
-        jnp.where(d2 == best_d2[..., None], iota, jnp.int32(2**30)), axis=-1
-    )  # ties -> lowest candidate index
-    onehot = iota[None, None, :] == ksel[..., None]  # [N, 27, S*32]
-    bx = jnp.sum(jnp.where(onehot, xs, 0.0), axis=-1)
-    by = jnp.sum(jnp.where(onehot, ys, 0.0), axis=-1)
-    bz = jnp.sum(jnp.where(onehot, zs, 0.0), axis=-1)
-    brow = jnp.sum(jnp.where(onehot, cands.rowids(), 0.0), axis=-1).astype(jnp.int32)
+    best_d2, onehot = _argmin_first(d2, axis=-1)  # [N, 27], [N, 27, S*32]
+    bx = _select(onehot, xs, -1)
+    by = _select(onehot, ys, -1)
+    bz = _select(onehot, zs, -1)
+    brow = _select(onehot, cands.rowids(), -1).astype(jnp.int32)
 
     alive = jnp.isfinite(best_d2) & query_mask[:, None]
     bad = jnp.float32(INVALID_COORD)
@@ -529,24 +547,20 @@ def nn_from_cache(
         from vfmreg_tpu.ops.nn_kernel import nn_argmin
 
         best_d2, best_k = nn_argmin(cache.cx, cache.cy, cache.cz, queries)
+        onehot = (
+            jnp.arange(cache.cx.shape[0], dtype=jnp.int32)[:, None] == best_k[None, :]
+        )
     else:
         qx, qy, qz = queries[:, 0], queries[:, 1], queries[:, 2]
         d2 = (cache.cx - qx[None, :]) ** 2 + (cache.cy - qy[None, :]) ** 2 + (
             cache.cz - qz[None, :]
         ) ** 2
-        best_d2 = jnp.min(d2, axis=0)
-        iota = jnp.arange(d2.shape[0], dtype=jnp.int32)[:, None]
-        best_k = jnp.min(
-            jnp.where(d2 == best_d2[None, :], iota, jnp.int32(2**30)), axis=0
-        )
-    onehot = (
-        jnp.arange(cache.cx.shape[0], dtype=jnp.int32)[:, None] == best_k[None, :]
-    )
+        best_d2, onehot = _argmin_first(d2, axis=0)
     best_pt = jnp.stack(
         [
-            jnp.sum(jnp.where(onehot, cache.cx, 0.0), axis=0),
-            jnp.sum(jnp.where(onehot, cache.cy, 0.0), axis=0),
-            jnp.sum(jnp.where(onehot, cache.cz, 0.0), axis=0),
+            _select(onehot, cache.cx, 0),
+            _select(onehot, cache.cy, 0),
+            _select(onehot, cache.cz, 0),
         ],
         axis=1,
     )
@@ -638,17 +652,11 @@ def build_weighted_nn_cache(
     w = weights.reshape(d2.shape)
     wd2 = d2 * w  # inf * [0.01, 1] stays inf
 
-    lanes = wd2.shape[-1]
-    best = jnp.min(wd2, axis=-1)  # [N, 27]
-    iota = jnp.arange(lanes, dtype=jnp.int32)
-    ksel = jnp.min(
-        jnp.where(wd2 == best[..., None], iota, jnp.int32(2**30)), axis=-1
-    )
-    onehot = iota[None, None, :] == ksel[..., None]
-    bx = jnp.sum(jnp.where(onehot, xs, 0.0), axis=-1)
-    by = jnp.sum(jnp.where(onehot, ys, 0.0), axis=-1)
-    bz = jnp.sum(jnp.where(onehot, zs, 0.0), axis=-1)
-    bw = jnp.sum(jnp.where(onehot, w, 0.0), axis=-1)
+    best, onehot = _argmin_first(wd2, axis=-1)  # [N, 27], [N, 27, S*32]
+    bx = _select(onehot, xs, -1)
+    by = _select(onehot, ys, -1)
+    bz = _select(onehot, zs, -1)
+    bw = _select(onehot, w, -1)
 
     alive = jnp.isfinite(best) & query_mask[:, None]
     bad = jnp.float32(INVALID_COORD)
@@ -679,19 +687,16 @@ def nn_from_weighted_cache(
         + (cache.cz - qz[None, :]) ** 2
     )
     wd2 = d2 * cache.cw
-    best = jnp.min(wd2, axis=0)
-    iota = jnp.arange(wd2.shape[0], dtype=jnp.int32)[:, None]
-    best_k = jnp.min(jnp.where(wd2 == best[None, :], iota, jnp.int32(2**30)), axis=0)
-    onehot = jnp.arange(cache.cx.shape[0], dtype=jnp.int32)[:, None] == best_k[None, :]
+    best, onehot = _argmin_first(wd2, axis=0)
     best_pt = jnp.stack(
         [
-            jnp.sum(jnp.where(onehot, cache.cx, 0.0), axis=0),
-            jnp.sum(jnp.where(onehot, cache.cy, 0.0), axis=0),
-            jnp.sum(jnp.where(onehot, cache.cz, 0.0), axis=0),
+            _select(onehot, cache.cx, 0),
+            _select(onehot, cache.cy, 0),
+            _select(onehot, cache.cz, 0),
         ],
         axis=1,
     )
-    d2_eucl = jnp.sum(jnp.where(onehot, d2, 0.0), axis=0)
+    d2_eucl = _select(onehot, d2, 0)
     found = jnp.isfinite(best) & query_mask
     best_pt = jnp.where(found[:, None], best_pt, 0.0)
     inf = jnp.float32(jnp.inf)
@@ -725,19 +730,16 @@ def nearest_neighbors_xd(
     dz = zs - queries[:, 2:3]
     d2 = dx * dx + dy * dy + dz * dz
     wd2 = d2 * w
-    best = jnp.min(wd2, axis=-1)
-    iota = jnp.arange(wd2.shape[-1], dtype=jnp.int32)[None, :]
-    k = jnp.min(jnp.where(wd2 == best[:, None], iota, jnp.int32(2**30)), axis=-1)
-    onehot = iota == k[:, None]
+    best, onehot = _argmin_first(wd2, axis=-1)
     best_pt = jnp.stack(
         [
-            jnp.sum(jnp.where(onehot, xs, 0.0), axis=-1),
-            jnp.sum(jnp.where(onehot, ys, 0.0), axis=-1),
-            jnp.sum(jnp.where(onehot, zs, 0.0), axis=-1),
+            _select(onehot, xs, -1),
+            _select(onehot, ys, -1),
+            _select(onehot, zs, -1),
         ],
         axis=1,
     )
-    d2_eucl = jnp.sum(jnp.where(onehot, d2, 0.0), axis=-1)
+    d2_eucl = _select(onehot, d2, -1)
     found = jnp.isfinite(best) & query_mask
     best_pt = jnp.where(found[:, None], best_pt, 0.0)
     inf = jnp.float32(jnp.inf)

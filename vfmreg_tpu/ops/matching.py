@@ -168,6 +168,18 @@ def get_vfm_correspondences(
     On TPU the arg-max runs through the fused Pallas kernel
     (`ops/cosine_kernel.py`); elsewhere the `lax.scan` streaming path.
     """
+    best_sim, best_idx = _best_match(scan_feats, map_feats, map_mask, chunk, use_pallas)
+    target = map_points[best_idx]
+    return _assemble_correspondences(
+        scan_points, scan_mask, best_sim, target, min_cosine_similarity
+    )
+
+
+def _best_match(scan_feats, map_feats, map_mask, chunk, use_pallas):
+    """L2-normalize both sides and run the cosine arg-max — the fused Pallas
+    kernel on TPU, the `lax.scan` streaming path elsewhere. Shared preamble of
+    the single-device / map-sharded / batched searches (their parity contracts
+    assume ONE implementation)."""
     qn = l2_normalize(scan_feats.astype(jnp.float32))
     dbn = l2_normalize(map_feats.astype(jnp.float32))
     if use_pallas is None:
@@ -175,14 +187,8 @@ def get_vfm_correspondences(
     if use_pallas:
         from vfmreg_tpu.ops.cosine_kernel import cosine_argmax
 
-        best_sim, best_idx = cosine_argmax(qn, dbn, map_mask)
-    else:
-        best_sim, best_idx = _chunked_argmax_ip(qn, dbn, map_mask, chunk)
-
-    target = map_points[best_idx]
-    return _assemble_correspondences(
-        scan_points, scan_mask, best_sim, target, min_cosine_similarity
-    )
+        return cosine_argmax(qn, dbn, map_mask)
+    return _chunked_argmax_ip(qn, dbn, map_mask, chunk)
 
 
 def _assemble_correspondences(
@@ -228,16 +234,7 @@ def get_vfm_correspondences_map_sharded(
     and both the within-shard and the across-device arg-max pick the first
     (lowest-index) maximum, so the winner is the lowest global row index.
     """
-    qn = l2_normalize(scan_feats.astype(jnp.float32))
-    dbn = l2_normalize(map_feats.astype(jnp.float32))
-    if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
-    if use_pallas:
-        from vfmreg_tpu.ops.cosine_kernel import cosine_argmax
-
-        best_sim, best_idx = cosine_argmax(qn, dbn, map_mask)
-    else:
-        best_sim, best_idx = _chunked_argmax_ip(qn, dbn, map_mask, chunk)
+    best_sim, best_idx = _best_match(scan_feats, map_feats, map_mask, chunk, use_pallas)
     target_s = map_points[best_idx]  # [N, 3] this shard's champion
 
     sims = jax.lax.all_gather(best_sim, axis)  # [n_dev, N]
@@ -272,17 +269,10 @@ def get_vfm_correspondences_batched(
     vmapped path re-streams 6.4 GB; this path streams 0.8 GB.
     Returns the stacked VFMCorrespondences with [B, ...] fields.
     """
-    b, n, _ = scan_points.shape
-    qn = l2_normalize(scan_feats.astype(jnp.float32)).reshape(b * n, -1)
-    dbn = l2_normalize(map_feats.astype(jnp.float32))
-    if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
-    if use_pallas:
-        from vfmreg_tpu.ops.cosine_kernel import cosine_argmax
-
-        best_sim, best_idx = cosine_argmax(qn, dbn, map_mask)
-    else:
-        best_sim, best_idx = _chunked_argmax_ip(qn, dbn, map_mask, chunk)
+    b, n, d = scan_feats.shape
+    best_sim, best_idx = _best_match(
+        scan_feats.reshape(b * n, d), map_feats, map_mask, chunk, use_pallas
+    )
     best_sim = best_sim.reshape(b, n)
     best_idx = best_idx.reshape(b, n)
 

@@ -68,8 +68,10 @@ def orthogonalize(Rm: np.ndarray) -> np.ndarray:
 from functools import partial as _partial
 
 
-@_partial(jax.jit, static_argnames=("voxel_size", "q_budget"))
-def _preprocess_scans_device(raw, raw_mask, voxel_size: float, q_budget: int = 4096):
+@_partial(jax.jit, static_argnames=("voxel_size", "q_budget", "want_query"))
+def _preprocess_scans_device(
+    raw, raw_mask, voxel_size: float, q_budget: int = 4096, want_query: bool = True
+):
     """Per-scene scan preprocessing on DEVICE — the TPU-first replacement of
     the driver's host voxelize chain (reference `registration_node.py:289-290`
     double downsample + the 0.1 m pass at `:587-589`): 0.1 m first-wins
@@ -84,7 +86,9 @@ def _preprocess_scans_device(raw, raw_mask, voxel_size: float, q_budget: int = 4
     parity).
 
     Returns (s_xyz [B,N,3], s_feats [B,N,D], s_mask [B,N], s_counts [B],
-             q5_xyz [B,Q,3], q5_feats [B,Q,D], q5_mask [B,Q], q5_total [B]).
+             q5_xyz [B,Q,3], q5_feats [B,Q,D], q5_mask [B,Q], q5_total [B]);
+    with `want_query=False` (no vfm row in the method matrix) the 5 m pass is
+    skipped entirely and the four q5 outputs are None.
     """
     from vfmreg_tpu.ops.voxel import voxel_down_sample_masked
 
@@ -93,6 +97,8 @@ def _preprocess_scans_device(raw, raw_mask, voxel_size: float, q_budget: int = 4
         p, f, m_ = voxel_down_sample_masked(xyz, 0.1, mask=m, feats=f)
         p, f, m_ = voxel_down_sample_masked(p, 0.5 * voxel_size, mask=m_, feats=f)
         p, f, m_ = voxel_down_sample_masked(p, 1.0 * voxel_size, mask=m_, feats=f)
+        if not want_query:
+            return p, f, m_, None, None, None, None
         q5, qf5, qm5 = voxel_down_sample_masked(p, 5.0, mask=m_, feats=f)
         return (
             p, f, m_,
@@ -104,17 +110,48 @@ def _preprocess_scans_device(raw, raw_mask, voxel_size: float, q_budget: int = 4
     return p, f, m, jnp.sum(m, axis=1, dtype=jnp.int32), q5, qf5, qm5, q5_total
 
 
-@jax.jit
-def _voxelize_1m_batch(p, m, f):
-    """Masked 1 m first-wins voxelize per scan row (the reference's retry
-    voxelization, `registration_node.py:420-423`) — needed on the device
-    path only when voxel_size is non-integer (see the retry call site)."""
+@_partial(jax.jit, static_argnames=("size",))
+def _voxelize_batch(p, m, f, size=1.0):
+    """Masked first-wins voxelize per scan row at `size` — the reference's
+    1 m retry voxelization (`registration_node.py:420-423`; needed on the
+    device path only when voxel_size is non-integer) and the full-width 5 m
+    re-pass for scans that overflow the query budget."""
     from vfmreg_tpu.ops.voxel import voxel_down_sample_masked
 
     def one(pp, mm, ff):
-        return voxel_down_sample_masked(pp, 1.0, mask=mm, feats=ff)
+        return voxel_down_sample_masked(pp, size, mask=mm, feats=ff)
 
     return jax.vmap(one)(p, m, f)
+
+
+def _replace_corr_rows(c_src, c_tgt, c_mask, corr_new, scan_rows, b):
+    """Route row r of the freshly-matched `corr_new` batch to scan
+    `scan_rows[r]`, keeping every other scan's correspondences. Both batches
+    are padded to a common width on device (used by the 1 m-retry and the
+    query-budget-overflow merges)."""
+    n_corr = max(c_src.shape[1], corr_new.source.shape[1])
+
+    def pad_to(a, n):
+        pw = [(0, 0), (0, n - a.shape[1])] + [(0, 0)] * (a.ndim - 2)
+        return jnp.pad(a, pw)
+
+    row_of = np.zeros(b, np.int32)
+    is_new = np.zeros(b, bool)
+    for r, j in enumerate(scan_rows):
+        row_of[j] = r
+        is_new[j] = True
+    rows = jnp.asarray(row_of)
+    flag = jnp.asarray(is_new)
+    c_src = jnp.where(
+        flag[:, None, None], pad_to(corr_new.source, n_corr)[rows], pad_to(c_src, n_corr)
+    )
+    c_tgt = jnp.where(
+        flag[:, None, None], pad_to(corr_new.target, n_corr)[rows], pad_to(c_tgt, n_corr)
+    )
+    c_mask = jnp.where(
+        flag[:, None], pad_to(corr_new.mask, n_corr)[rows], pad_to(c_mask, n_corr)
+    )
+    return c_src, c_tgt, c_mask
 
 
 class RegistrationNode:
@@ -160,6 +197,9 @@ class RegistrationNode:
         if device_preprocess is None:
             device_preprocess = batch_scans and jax.default_backend() == "tpu"
         self.device_preprocess = device_preprocess and batch_scans
+        # Static 5 m query width for the device preprocessing pass; scans with
+        # more occupied 5 m voxels are re-matched at full width (sync 1).
+        self._q5_budget = 2048
         # Host voxel-hash maps for the current local map, shared across the GT
         # ICP / correspondence / refine stages instead of rebuilt per method.
         self._hash_map_cache: Dict[bool, tuple] = {}
@@ -782,8 +822,10 @@ class RegistrationNode:
                     raw_mask,
                     voxel_size=float(self.config.mapping.voxel_size),
                     # Matching cost scales with this width; real 5 m-voxelized
-                    # scans run ~200-800 queries, and overflow warns at sync 1.
-                    q_budget=2048,
+                    # scans run ~200-800 queries. Scans that overflow it are
+                    # detected at sync 1 and re-matched at full width.
+                    q_budget=self._q5_budget,
+                    want_query=want_vfm,
                 )
             )
         else:
@@ -837,19 +879,40 @@ class RegistrationNode:
                         "q5_total": q5_total,
                     }
                 )
-                counts5 = np.asarray(sync1["counts5"])
-                if int(np.max(sync1["q5_total"])) > q5x.shape[1]:
-                    print(
-                        "[WARNING] 5 m query budget "
-                        f"({q5x.shape[1]}) exceeded; extra voxels dropped"
-                    )
+                counts5 = np.asarray(sync1["counts5"]).copy()
                 s_xyz_j, s_mask_j, scan_sizes = _slice_scan_operands(sync1["counts3"])
             else:
                 corr5 = match([voxel_down_sample(v, 5.0) for v in voxel_desc])
                 counts5 = np.asarray(jnp.sum(corr5.mask, axis=1))  # sync 1: retry decision
             _tic("match_5m")
-            retry = [j for j in range(b) if int(counts5[j]) < 75]
             c_src, c_tgt, c_mask = corr5.source, corr5.target, corr5.mask
+            if device_pre:
+                # Scans whose 5 m voxel count overflowed the static query
+                # budget were matched on a TRUNCATED query set; re-run them at
+                # the full double-voxelized width so the result is exactly the
+                # host chain's (rare: >q_budget occupied 5 m voxels per scan).
+                overflow = [
+                    j for j in range(b) if int(sync1["q5_total"][j]) > q5x.shape[1]
+                ]
+                if overflow:
+                    print(
+                        f"[WARNING] 5 m query budget ({q5x.shape[1]}) exceeded by "
+                        f"{len(overflow)} scan(s); re-matching them at full width"
+                    )
+                    rows_o = jnp.asarray(np.asarray(overflow, np.int32))
+                    oq, of_, om = _voxelize_batch(
+                        p3[rows_o], m3[rows_o], f3[rows_o], size=5.0
+                    )
+                    corr5o = match_arrays(oq, of_, om)
+                    # Extra sync on this rare path only: the corrected counts
+                    # feed the host-side retry decision.
+                    counts5o = np.asarray(jnp.sum(corr5o.mask, axis=1))
+                    for r, j in enumerate(overflow):
+                        counts5[j] = int(counts5o[r])
+                    c_src, c_tgt, c_mask = _replace_corr_rows(
+                        c_src, c_tgt, c_mask, corr5o, overflow, b
+                    )
+            retry = [j for j in range(b) if int(counts5[j]) < 75]
             corr_counts = [int(x) for x in counts5]
             if retry:
                 if device_pre:
@@ -864,36 +927,17 @@ class RegistrationNode:
                     W = s_xyz_j.shape[1]
                     rp, rf, rm = p3[rows_r, :W], f3[rows_r, :W], m3[rows_r, :W]
                     if not float(self.config.mapping.voxel_size).is_integer():
-                        rp, rf, rm = _voxelize_1m_batch(rp, rm, rf)
+                        rp, rf, rm = _voxelize_batch(rp, rm, rf, size=1.0)
                     corr1 = match_arrays(rp, rf, rm)
                 else:
                     corr1 = match([voxel_down_sample(voxel_desc[j], 1.0) for j in retry])
                 counts1 = np.asarray(jnp.sum(corr1.mask, axis=1))
                 for r, j in enumerate(retry):
                     corr_counts[j] = int(counts1[r])
-                # Merge retried rows on device: pad both passes to a common width,
-                # route retry scan j to its row r in the 1 m batch, select by flag.
-                n_corr = max(c_src.shape[1], corr1.source.shape[1])
-
-                def pad_to(a, n):
-                    pw = [(0, 0), (0, n - a.shape[1])] + [(0, 0)] * (a.ndim - 2)
-                    return jnp.pad(a, pw)
-
-                row_of = np.zeros(b, np.int32)
-                is_retry = np.zeros(b, bool)
-                for r, j in enumerate(retry):
-                    row_of[j] = r
-                    is_retry[j] = True
-                rows = jnp.asarray(row_of)
-                flag = jnp.asarray(is_retry)
-                c_src = jnp.where(
-                    flag[:, None, None], pad_to(corr1.source, n_corr)[rows], pad_to(c_src, n_corr)
-                )
-                c_tgt = jnp.where(
-                    flag[:, None, None], pad_to(corr1.target, n_corr)[rows], pad_to(c_tgt, n_corr)
-                )
-                c_mask = jnp.where(
-                    flag[:, None], pad_to(corr1.mask, n_corr)[rows], pad_to(c_mask, n_corr)
+                # Merge retried rows on device: route retry scan j to its row
+                # r in the 1 m batch, keep everyone else's 5 m rows.
+                c_src, c_tgt, c_mask = _replace_corr_rows(
+                    c_src, c_tgt, c_mask, corr1, retry, b
                 )
 
             _tic("match_1m_retry")

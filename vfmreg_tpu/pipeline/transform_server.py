@@ -62,6 +62,10 @@ def compute_transform(
             initial_guess=initial_guess,
             max_correspondance_distance=3.0 * sigma,
             kernel=sigma / 3.0,
+            # The reference service registers VectorXd clouds through the XD
+            # overload (`KissICP.cpp:58-63` -> `Registration.cpp:384-422`),
+            # never VFM-ICP — descriptor columns weight the champion NN.
+            force_xd=True,
         )
     )
 
