@@ -73,6 +73,16 @@ def cache_dir() -> Path:
 def download(name: str, dest: Path) -> bool:
     filename, url, _ = CHECKPOINTS[name]
     target = dest / filename
+    if name == "clip_bpe" and not target.exists():
+        # The merge table is vendored in-tree (`data/clip/`, like the
+        # reference's `src/featup_data/`) — copy instead of fetching.
+        from vfmreg_tpu.models.clip_text import DEFAULT_BPE_PATH
+
+        if DEFAULT_BPE_PATH.exists():
+            import shutil
+
+            target.parent.mkdir(parents=True, exist_ok=True)
+            shutil.copyfile(DEFAULT_BPE_PATH, target)
     if target.exists():
         return True
     dest.mkdir(parents=True, exist_ok=True)
