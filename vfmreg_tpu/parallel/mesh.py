@@ -411,6 +411,166 @@ def dp_map_sharded_vfm_register(
     )
 
 
+def map_sharded_driver_stages(
+    mesh: Mesh,
+    voxel_size: float,
+    num_hypotheses: int = 50000,
+    axis: str = "model",
+    max_points_per_voxel: int = 20,
+    min_cosine_similarity: float = 0.8,
+    snap_tol: float = 1e-3,
+    chunk: int = 4096,
+):
+    """The batched driver stages with the MAP tensor-sharded over `axis` (map
+    rows) and the scan batch replicated — the driver's bigger-than-HBM scene
+    mode. Each device builds ONE per-shard hash grid per scene (the `build`
+    stage; outputs stay sharded on device) and the per-scan stages run
+    replicated except for their `axis` collectives:
+
+    * match: per-shard cosine arg-max over the grid's capped store, one
+      all_gather merge (first-max -> lowest device, exact tie parity with the
+      single-grid search when shard stores preserve candidate sets);
+    * snap: target side NN per shard + one all_gather min-merge; source side
+      (scan) is replicated, the tol gate uses directly-computed distances;
+    * ransac: the hypothesis budget sharded over `axis` with the SAME
+      per-device key stream as `sharded_ransac` (split of the per-scan key,
+      ceil(budget/n_dev) hypotheses per device, pmin/psum winner merge) — so
+      poses match the hypothesis-sharded layout the b < n_dev scan-sharded
+      driver uses, and no device idles through the 50k models;
+    * icp: the cached-champion GN loop with the per-refresh champion-cache
+      all_gather (`map_sharded_icp`'s exactness argument).
+
+    Per-shard insertion caps mean a voxel can hold up to n_dev * cap points
+    map-wide (same documented deviation as `map_sharded_icp`); scenes whose
+    voxels stay under the cap match the single-grid driver exactly.
+
+    Returns dict(build, match, snap, ransac, icp):
+      build(map_pts [M,3], map_feats [M,D], map_mask [M]) -> HashGrid
+        (pytree sharded over `axis`; M divisible by the axis size)
+      match(grid, q [B,N,3], qf [B,N,D], qm [B,N]) -> VFMCorrespondences
+      snap(src, tgt, mask [B,C,*], scan_pts, scan_mask [B,N,*], grid)
+        -> (snapped_src, snapped_tgt, ok)
+      ransac(src, tgt, mask, key_datas [B, n_dev, key]) -> poses [B,4,4]
+        (key_datas = jax.random.key_data(split(per_scan_key, n_dev)))
+      icp(grid, points, mask, guesses, max_dist, kernel) -> poses
+    """
+    from vfmreg_tpu.ops.hash_grid import HashGrid
+    from vfmreg_tpu.ops.matching import (
+        _assemble_correspondences,
+        _best_match,
+        _chunked_argmin_l2,
+    )
+    from vfmreg_tpu.registration.icp import register_frame_icp
+
+    _merge = partial(_gather_nn_cache, axis=axis)
+    D, R = P(axis), P()
+
+    def _smap(fn, in_specs, out_specs):
+        return jax.jit(
+            jax.shard_map(
+                fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_vma=False
+            )
+        )
+
+    grid_spec = HashGrid(
+        table=D,
+        points=D,
+        bucket_slab=D,
+        feats=D,
+        valid=D,
+        voxel_size=R,
+        max_points_per_voxel=max_points_per_voxel,
+    )
+
+    build = _smap(
+        lambda mp, mf, mm: build_hash_grid(
+            mp,
+            voxel_size,
+            mask=mm,
+            feats=mf,
+            max_points_per_voxel=max_points_per_voxel,
+        ),
+        (D, D, D),
+        grid_spec,
+    )
+
+    def _match_body(grid, q, qf, qm):
+        b, n, d = qf.shape
+        sim_s, idx_s = _best_match(
+            qf.reshape(b * n, d), grid.feats, grid.valid, chunk, None
+        )
+        tgt_s = grid.points[idx_s]
+        sims = jax.lax.all_gather(sim_s, axis)  # [n_dev, B*N]
+        tgts = jax.lax.all_gather(tgt_s, axis)
+        dev = jnp.argmax(sims, axis=0)  # first max -> lowest device
+        best_sim = jnp.max(sims, axis=0).reshape(b, n)
+        target = jnp.take_along_axis(tgts, dev[None, :, None], axis=0)[0].reshape(b, n, 3)
+        return jax.vmap(
+            lambda sp, sm, bs, tg: _assemble_correspondences(
+                sp, sm, bs, tg, min_cosine_similarity
+            )
+        )(q, qm, best_sim, target)
+
+    match = _smap(_match_body, (grid_spec, R, R, R), R)
+
+    def _snap_body(csrc, ctgt, cmask, sps, sms, grid):
+        def one(src, tgt, m, sp, sm):
+            # Same centered-NN robustness as `snap_correspondences` (its
+            # docstring derives why); the target side searches this shard's
+            # capped store and min-merges across devices.
+            n_src = jnp.maximum(jnp.sum(m.astype(jnp.float32)), 1.0)
+            c = jnp.sum(jnp.where(m[:, None], src, 0.0), axis=0) / n_src
+            _, idx_s = _chunked_argmin_l2((src - c).astype(jnp.float32), sp - c, sm, chunk)
+            d2_t_s, idx_t_s = _chunked_argmin_l2(
+                (tgt - c).astype(jnp.float32), grid.points - c, grid.valid, chunk
+            )
+            snapped_t_s = grid.points[idx_t_s]
+            d2g = jax.lax.all_gather(d2_t_s, axis)  # [n_dev, C]
+            tgg = jax.lax.all_gather(snapped_t_s, axis)
+            dev = jnp.argmin(d2g, axis=0)  # first min -> lowest device
+            snapped_tgt = jnp.take_along_axis(tgg, dev[None, :, None], axis=0)[0]
+            snapped_src = sp[idx_s]
+            d_s = jnp.linalg.norm(src - snapped_src, axis=-1)
+            d_t = jnp.linalg.norm(tgt - snapped_tgt, axis=-1)
+            ok = m & (d_s < snap_tol) & (d_t < snap_tol)
+            return snapped_src, snapped_tgt, ok
+
+        return jax.vmap(one)(csrc, ctgt, cmask, sps, sms)
+
+    snap = _smap(_snap_body, (R, R, R, R, R, grid_spec), R)
+
+    from vfmreg_tpu.registration.ransac import ransac_registration
+
+    n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    per_dev = -(-num_hypotheses // n_dev)
+
+    def _ransac_body(src, tgt, mask, key_datas):
+        idx = jax.lax.axis_index(axis)
+
+        def one(s, t, m, kd):
+            key = jax.random.wrap_key_data(kd[idx])
+            res = ransac_registration(s, t, m, key, num_hypotheses=per_dev)
+            best = jax.lax.pmin(res.rmse, axis)
+            winner = jax.lax.pmin(jnp.where(res.rmse == best, idx, n_dev), axis)
+            return jax.lax.psum(
+                jnp.where(idx == winner, res.pose, jnp.zeros_like(res.pose)), axis
+            )
+
+        return jax.vmap(one)(src, tgt, mask, key_datas)
+
+    ransac = _smap(_ransac_body, (R, R, R, R), R)
+
+    def _icp_body(grid, pts, m, guesses, max_dist, kernel):
+        fn = lambda p_, m_, g_: register_frame_icp(
+            grid, p_, m_, g_, max_dist, kernel, merge_cache=_merge
+        )
+        return jax.vmap(fn)(pts, m, guesses)
+
+    icp = _smap(_icp_body, (grid_spec, R, R, R, R, R), R)
+
+    return {"build": build, "match": match, "snap": snap, "ransac": ransac, "icp": icp}
+
+
 def sharded_driver_stages(mesh: Mesh, num_hypotheses: int = 50000):
     """The batched driver stages with the SCAN axis sharded over the mesh's
     `data` axis and the map replicated (it fits one chip; scans don't need it

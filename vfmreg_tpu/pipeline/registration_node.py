@@ -173,6 +173,7 @@ class RegistrationNode:
         kitti_dir: Optional[Path] = None,  # scan_to_scan='kitti' data root
         batch_scans: Optional[bool] = None,
         device_preprocess: Optional[bool] = None,
+        map_sharding: bool = False,
     ) -> None:
         self.interactive = interactive
         self.cluster_removal_prob = cluster_removal_prob
@@ -257,8 +258,18 @@ class RegistrationNode:
         # Single-device runs keep the plain vmapped path.
         self._sharded_ransac = None
         self._sharded_stages = None
+        self._map_sharded_stages = None
         self._mesh_size = 1
-        if len(jax.devices()) > 1:
+        self._want_map_sharding = False
+        if map_sharding and len(jax.devices()) > 1:
+            # Bigger-than-HBM scene mode (batched path only): the MAP is
+            # tensor-sharded over the mesh, scans are replicated. Mutually
+            # exclusive with the scan-axis layout below — the map is the
+            # thing that doesn't fit, so it takes the whole mesh. The stage
+            # dict needs the grid voxel size, so it builds after the config
+            # loads (below).
+            self._want_map_sharding = True
+        elif len(jax.devices()) > 1:
             from vfmreg_tpu.parallel.mesh import (
                 make_mesh,
                 sharded_driver_stages,
@@ -280,6 +291,20 @@ class RegistrationNode:
             print(f"Mesh: sharding driver stages over {len(jax.devices())} devices")
 
         self.config = load_config(None, deskew=False, max_range=None)
+        if getattr(self, "_want_map_sharding", False):
+            from vfmreg_tpu.parallel.mesh import make_mesh, map_sharded_driver_stages
+
+            self.mesh = make_mesh(("model",))
+            self._map_sharded_stages = map_sharded_driver_stages(
+                self.mesh,
+                voxel_size=float(self.config.mapping.voxel_size),
+                num_hypotheses=RANSAC_HYPOTHESES,
+                max_points_per_voxel=int(self.config.mapping.max_points_per_voxel),
+            )
+            print(
+                f"Mesh: sharding the MAP over {len(jax.devices())} devices "
+                "(bigger-than-HBM scene mode)"
+            )
         print("Sigma:", self.config.adaptive_threshold.initial_threshold)
         print("Voxel size:", self.config.mapping.voxel_size)
         print("Max points per voxel:", self.config.mapping.max_points_per_voxel)
@@ -771,7 +796,24 @@ class RegistrationNode:
         want_vfm = any(m == "vfm" for m, _ in self.methods_ransac)
         want_vfm_icp = any(m == "vfm" and ri for m, ri in self.methods_ransac)
 
-        if want_vfm:
+        ms = self._map_sharded_stages
+        if ms is not None:
+            # Map-sharded scene mode: per-shard grids built ON the mesh from
+            # the padded map rows; the pytree's leaves stay sharded on device.
+            n_model = len(jax.devices())
+            M0 = scene_local_map.shape[0]
+            Mp = max(bucket_size(max(M0, 1)), n_model)
+            dmap = max(scene_local_map.shape[1] - 3, 1)
+            mp_np = np.zeros((Mp, 3), np.float32)
+            mf_np = np.zeros((Mp, dmap), np.float32)
+            mm_np = np.zeros((Mp,), bool)
+            mp_np[:M0] = scene_local_map[:, :3]
+            mf_np[:M0, : scene_local_map.shape[1] - 3] = scene_local_map[:, 3:]
+            mm_np[:M0] = True
+            grid3 = grid_full = ms["build"](
+                jnp.asarray(mp_np), jnp.asarray(mf_np), jnp.asarray(mm_np)
+            )
+        elif want_vfm:
             # ONE grid build per scene: the descriptor grid's coordinate side
             # (points/valid/table/slabs) is bit-identical to a 3D-only build —
             # same insertion order, same per-voxel cap on the same coords —
@@ -846,6 +888,8 @@ class RegistrationNode:
         corr_counts = ransac_raw = ransac_ortho = snap_mask = None
         if want_vfm:
             def match_arrays(qx, qf, qm):
+                if ms is not None:
+                    return ms["match"](grid_full, qx, qf, qm)
                 if stages is not None:
                     b0 = qx.shape[0]
                     q, qf_, qm_ = _pad_b((qx, qf, qm), b0)
@@ -953,7 +997,11 @@ class RegistrationNode:
                     c_src = jnp.take_along_axis(c_src, order_c[..., None], axis=1)[:, :Wc]
                     c_tgt = jnp.take_along_axis(c_tgt, order_c[..., None], axis=1)[:, :Wc]
                     c_mask = jnp.take_along_axis(c_mask, order_c, axis=1)[:, :Wc]
-            if stages is not None:
+            if ms is not None:
+                snap_src, snap_tgt, snap_mask = ms["snap"](
+                    c_src, c_tgt, c_mask, s_xyz_j, s_mask_j, grid_full
+                )
+            elif stages is not None:
                 cs, ct, cm, sx, smk = _pad_b((c_src, c_tgt, c_mask, s_xyz_j, s_mask_j), b)
                 snap_src, snap_tgt, snap_mask = (
                     a[:b] for a in stages["snap"](cs, ct, cm, sx, smk, map_pad, map_mask)
@@ -962,7 +1010,19 @@ class RegistrationNode:
                 snap_src, snap_tgt, snap_mask = batched_snap(
                     c_src, c_tgt, c_mask, s_xyz_j, s_mask_j, map_pad, map_mask,
                 )
-            if stages is not None and b >= n_dev:
+            if ms is not None:
+                # Same per-scan key split + per-device hypothesis share as
+                # `self._sharded_ransac`, so poses match the scan-sharded
+                # driver's b < n_dev layout bit-for-bit (modulo scheduling).
+                n_model = len(jax.devices())
+                keys = jnp.stack([
+                    jax.random.key_data(
+                        jax.random.split(jax.random.PRNGKey(j), n_model)
+                    )
+                    for j in range(b)
+                ])
+                ransac_dev = ms["ransac"](snap_src, snap_tgt, snap_mask, keys)
+            elif stages is not None and b >= n_dev:
                 # Multi-chip, >= one scan per device: shard the SCAN axis — each
                 # device runs its scans' full 50k-hypothesis budget.
                 b_pad = b + ((-b) % n_dev)
@@ -1004,6 +1064,10 @@ class RegistrationNode:
             reps = g.shape[0] // b
             sx = s_xyz_j if reps == 1 else jnp.concatenate([s_xyz_j] * reps)
             sm = s_mask_j if reps == 1 else jnp.concatenate([s_mask_j] * reps)
+            if ms is not None:
+                return ms["icp"](
+                    grid3, sx, sm, g, jnp.float32(max_dist), jnp.float32(kernel)
+                )
             if stages is not None:
                 sx, sm, g2 = _pad_b((sx, sm, g), g.shape[0])
                 return stages["icp"](
