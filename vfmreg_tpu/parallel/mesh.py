@@ -541,7 +541,9 @@ def map_sharded_driver_stages(
 
     from vfmreg_tpu.registration.ransac import ransac_registration
 
-    n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    # Hypothesis split and winner sentinel must match the collective's axis
+    # extent (the pmin/psum merge runs over `axis` only), not the whole mesh.
+    n_dev = int(mesh.shape[axis])
     per_dev = -(-num_hypotheses // n_dev)
 
     def _ransac_body(src, tgt, mask, key_datas):

@@ -803,6 +803,10 @@ class RegistrationNode:
             n_model = len(jax.devices())
             M0 = scene_local_map.shape[0]
             Mp = max(bucket_size(max(M0, 1)), n_model)
+            # bucket_size yields 512*2^k — divisible by n_model only for
+            # power-of-two meshes; shard_map's P('model') row split needs
+            # exact divisibility on any mesh (e.g. 6 devices).
+            Mp = -(-Mp // n_model) * n_model
             dmap = max(scene_local_map.shape[1] - 3, 1)
             mp_np = np.zeros((Mp, 3), np.float32)
             mf_np = np.zeros((Mp, dmap), np.float32)
@@ -1027,8 +1031,10 @@ class RegistrationNode:
                 # device runs its scans' full 50k-hypothesis budget.
                 b_pad = b + ((-b) % n_dev)
                 keys = jnp.stack([jax.random.PRNGKey(j) for j in range(b_pad)])
-                ss, ts, ms = _pad_b((snap_src, snap_tgt, snap_mask), b)
-                ransac_dev = stages["ransac"](ss, ts, ms, keys)[:b]
+                # NOTE: names must not shadow `ms` (the map-sharded stages
+                # dict bound above) — run_icp below branches on `ms is not None`.
+                ps, pt, pm = _pad_b((snap_src, snap_tgt, snap_mask), b)
+                ransac_dev = stages["ransac"](ps, pt, pm, keys)[:b]
             elif self._sharded_ransac is not None:
                 # Fewer scans than devices: shard the hypothesis budget per scan
                 # (same layout the serial path uses); enqueue all scans, fetch once.
