@@ -70,6 +70,145 @@ def cache_dir() -> Path:
     return Path(os.environ.get("VFMREG_CACHE", Path.home() / ".cache" / "vfmreg_tpu"))
 
 
+# --------------------------------------------------------------- integrity
+# The reference pins only fixed paths (`download_baseline_models.py:26-33`);
+# a corrupted or silently-updated upstream file would convert "successfully"
+# and skew descriptors. Two independent guards (VERDICT r4 item 5):
+#   * SHA256 pin-on-first-verify: the first successful verification records
+#     each file's digest+size in <cache>/manifest.json; every later run
+#     compares and fails loudly on any byte change.
+#   * Structural manifest: the six baseline checkpoints must carry exactly
+#     the tensor keys/shapes of the in-tree reference goldens
+#     (state dicts captured from the reference repo's own torch modules by
+#     `tests/torch_oracles/gen_reference_goldens.py`) — catching a wrong or
+#     re-trained upstream file even on its first download.
+
+MANIFEST_NAME = "manifest.json"
+
+# Unwrap nesting of the raw torch file -> the model state dict whose
+# keys/shapes the goldens pin (mirrors the converters' own unwrapping).
+_SD_UNWRAP = {
+    "fcgf": "state_dict",
+    "gcl": "state_dict",
+    "gedi": "pnet_model_state_dict",
+    "dip": None,
+    "spinnet": None,
+    "pointdsc": None,
+}
+
+
+def file_sha256(path: Path, chunk: int = 1 << 20) -> str:
+    import hashlib
+
+    h = hashlib.sha256()
+    with open(path, "rb") as f:
+        while True:
+            b = f.read(chunk)
+            if not b:
+                break
+            h.update(b)
+    return h.hexdigest()
+
+
+def load_manifest(dest: Path) -> dict:
+    import json
+
+    p = dest / MANIFEST_NAME
+    if p.exists():
+        with open(p) as f:
+            return json.load(f)
+    return {}
+
+
+def check_and_pin_manifest(dest: Path, name: str, target: Path) -> str:
+    """Compare `target` against the pinned digest (pin it on first sight).
+
+    Returns 'pinned' on a fresh pin or 'ok' on a match; raises RuntimeError
+    with the expected/actual digests on any mismatch.
+    """
+    import json
+
+    manifest = load_manifest(dest)
+    digest = file_sha256(target)
+    size = target.stat().st_size
+    entry = manifest.get(name)
+    if entry is not None:
+        if entry["sha256"] != digest or entry["size"] != size:
+            raise RuntimeError(
+                f"[{name}] checkpoint integrity FAILURE: {target} has "
+                f"sha256={digest} size={size}, manifest pinned "
+                f"sha256={entry['sha256']} size={entry['size']} — the file "
+                f"changed since it was verified; delete it (and the manifest "
+                f"entry) only if the change is intentional"
+            )
+        return "ok"
+    manifest[name] = {"filename": target.name, "sha256": digest, "size": size}
+    dest.mkdir(parents=True, exist_ok=True)
+    with open(dest / MANIFEST_NAME, "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    return "pinned"
+
+
+def _golden_dir() -> Path:
+    return Path(__file__).resolve().parents[2] / "tests" / "golden"
+
+
+def check_state_shapes(name: str, sd: dict) -> int:
+    """Pin the checkpoint's tensor keys/shapes against the reference golden.
+
+    Returns the number of tensors checked (0 when no golden covers `name`,
+    e.g. a wheel install without tests/). Raises RuntimeError listing every
+    missing key or shape mismatch.
+    """
+    golden_path = _golden_dir() / f"{name}_reference_golden.npz"
+    if not golden_path.exists():
+        return 0
+    import numpy as np
+
+    wrap = _SD_UNWRAP.get(name)
+    if wrap is not None and wrap in sd:
+        sd = sd[wrap]
+    golden = np.load(golden_path, allow_pickle=True)
+    problems = []
+    checked = 0
+    for key in golden.files:
+        if not key.startswith("sd::"):
+            continue
+        k = key[4:]
+        want = tuple(golden[key].shape)
+        if k not in sd:
+            problems.append(f"missing tensor {k} (expected shape {want})")
+            continue
+        v = sd[k]
+        got = tuple(getattr(v, "shape", ()))
+        if got != want:
+            problems.append(f"{k}: shape {got}, expected {want}")
+        checked += 1
+    if problems:
+        raise RuntimeError(
+            f"[{name}] checkpoint structure FAILURE vs reference golden "
+            f"({len(problems)} problem(s)):\n  " + "\n  ".join(problems[:20])
+        )
+    return checked
+
+
+def manifest_status(dest: Path) -> None:
+    """Print the integrity status of every cached checkpoint."""
+    manifest = load_manifest(dest)
+    for name, (filename, _, _) in CHECKPOINTS.items():
+        target = dest / filename
+        entry = manifest.get(name)
+        if not target.exists():
+            state = "absent" + (", pinned" if entry else "")
+        elif entry is None:
+            state = "present, UNPINNED (run --verify to pin)"
+        elif file_sha256(target) == entry["sha256"]:
+            state = f"present, pinned OK ({entry['sha256'][:12]}…)"
+        else:
+            state = "present, PINNED-MISMATCH — file changed since verification"
+        print(f"[manifest] {name:10s} {state}")
+
+
 def download(name: str, dest: Path) -> bool:
     filename, url, _ = CHECKPOINTS[name]
     target = dest / filename
@@ -137,16 +276,19 @@ def verify_loadable(dest: Path) -> None:
         target = dest / filename
         if not target.exists():
             continue
+        pin = check_and_pin_manifest(dest, name, target)
         if name not in converters:
             # Entries with no torch converter (the CLIP BPE vocab gz, the
             # jit-archived ViT-B-16.pt) would crash torch.load/KeyError here.
-            print(f"[{name}] present (no converter check)")
+            print(f"[{name}] present, sha256 {pin} (no converter check)")
             continue
         sd = torch.load(target, map_location="cpu")
         if hasattr(sd, "items"):
             sd = {k: (v.numpy() if hasattr(v, "numpy") else v) for k, v in sd.items()}
+        n_shapes = check_state_shapes(name, sd)
         converters[name](sd)
-        print(f"[{name}] converted OK")
+        suffix = f", {n_shapes} tensor shapes vs golden" if n_shapes else ""
+        print(f"[{name}] converted OK (sha256 {pin}{suffix})")
 
 
 def self_test() -> int:
@@ -202,6 +344,7 @@ def main():
     dest = Path(args.dest) if args.dest else cache_dir()
 
     if args.self_test:
+        manifest_status(dest)
         raise SystemExit(self_test())
     if not args.convert_only:
         for name in CHECKPOINTS:
