@@ -584,3 +584,48 @@ def test_map_sharded_driver_matches_vmapped(scene_h5):
                 np.testing.assert_allclose(a, b, rtol=0.05, atol=1e-3, err_msg=method)
             else:
                 np.testing.assert_allclose(a, b, atol=2e-3, err_msg=method)
+
+
+def test_dump_viz_writes_parseable_artifacts(scene_h5, tmp_path):
+    """`--dump-viz` (VERDICT r4 item 6): both driver paths write per-scan
+    map/GT/estimate PLYs plus inlier correspondences as segment pairs, and the
+    files parse (counted vertices/edges match their headers)."""
+
+    def parse_ply(path):
+        with open(path) as f:
+            n_v = n_e = 0
+            for line in f:
+                line = line.strip()
+                if line.startswith("element vertex"):
+                    n_v = int(line.split()[-1])
+                elif line.startswith("element edge"):
+                    n_e = int(line.split()[-1])
+                elif line == "end_header":
+                    break
+            body = [ln.split() for ln in f]
+        assert len(body) == n_v + n_e
+        verts = np.asarray([[float(x) for x in r[:3]] for r in body[:n_v]])
+        assert np.isfinite(verts).all()
+        return n_v, n_e
+
+    for batch in (True, False):
+        out = tmp_path / ("batched" if batch else "serial")
+        node = RegistrationNode(
+            scene_h5,
+            methods_ransac=[("vfm", True)],
+            methods_teaser=[],
+            methods_pointdsc=[],
+            batch_scans=batch,
+            dump_viz_dir=out,
+        )
+        node.make_step()
+        scene_dir = out / "scene_000"
+        assert (scene_dir / "map.ply").exists()
+        n_v, _ = parse_ply(scene_dir / "map.ply")
+        assert n_v > 100
+        for i in range(2):
+            for kind in (f"scan_{i:02d}_gt.ply", f"scan_{i:02d}_est_vfm_ransac_icp.ply"):
+                n_v, _ = parse_ply(scene_dir / kind)
+                assert n_v > 100, kind
+            n_v, n_e = parse_ply(scene_dir / f"scan_{i:02d}_correspondences.ply")
+            assert n_e > 10 and n_v == 2 * n_e

@@ -174,7 +174,15 @@ class RegistrationNode:
         batch_scans: Optional[bool] = None,
         device_preprocess: Optional[bool] = None,
         map_sharding: bool = False,
+        dump_viz_dir: Optional[Path] = None,
     ) -> None:
+        # Per-run artifact visualization (the ROS-free equivalent of the
+        # reference's live rviz publishing, `vfm_reg/utils.py:155-226`): when
+        # set, every scan writes map/scan-at-estimate PLYs plus the inlier
+        # correspondences as colored segment pairs under this directory.
+        self.dump_viz_dir = Path(dump_viz_dir) if dump_viz_dir is not None else None
+        self._viz_corr: Optional[Tuple[np.ndarray, np.ndarray]] = None
+        self._viz_initial = np.eye(4)
         self.interactive = interactive
         self.cluster_removal_prob = cluster_removal_prob
         self.cluster_insertion_dir = cluster_insertion_dir
@@ -424,6 +432,12 @@ class RegistrationNode:
         )
         n_kept = int(np.asarray(snap_mask).sum())
         print(f"[{method}] Correspondences after filtering: {n_kept}")
+        if self.dump_viz_dir is not None:
+            keep = np.asarray(snap_mask)
+            self._viz_corr = (
+                np.asarray(snapped_src)[keep],
+                np.asarray(snapped_tgt)[keep],
+            )
 
         if self._sharded_ransac is not None:
             pose_dev, _ = self._sharded_ransac(
@@ -1107,6 +1121,8 @@ class RegistrationNode:
             to_fetch["refined"] = refined
         if snap_mask is not None:
             to_fetch["snap_counts"] = jnp.sum(snap_mask, axis=1)
+            if self.dump_viz_dir is not None:
+                to_fetch["viz"] = (snap_src, snap_tgt, snap_mask)
         fetched = jax.device_get(to_fetch)
         _tic("final_fetch")
         if _profile:
@@ -1130,7 +1146,63 @@ class RegistrationNode:
             "map_size": int(fetched["map_size"]),
             "scan_sizes": scan_sizes,
             "retried": retry,  # scans that took the 1 m pass (test/debug surface)
+            "viz_corr": (
+                [
+                    (
+                        np.asarray(fetched["viz"][0][j])[np.asarray(fetched["viz"][2][j])],
+                        np.asarray(fetched["viz"][1][j])[np.asarray(fetched["viz"][2][j])],
+                    )
+                    for j in range(b)
+                ]
+                if "viz" in fetched else None
+            ),
         }
+
+    def _dump_scan_viz(
+        self,
+        scan_idx: int,
+        local_map: np.ndarray,
+        point_cloud: np.ndarray,
+        gt_pose: np.ndarray,
+        results: dict,
+        corr: Optional[Tuple[np.ndarray, np.ndarray]],
+    ) -> None:
+        """Write this scan's visualization artifacts (`--dump-viz`): the scene
+        map (once), the scan at GT and at the flagship estimate, and the
+        accepted correspondences as colored segment pairs — the ROS-free
+        equivalent of the reference's per-step cloud/MarkerArray publishing
+        (`vfm_reg/utils.py:155-226`, `registration_node.py:74-83`)."""
+        from vfmreg_tpu.pipeline.visualize_scenes import write_ply, write_ply_segments
+
+        out = self.dump_viz_dir / f"scene_{self.scene_idx:03d}"
+        out.mkdir(parents=True, exist_ok=True)
+        if scan_idx == 0:
+            write_ply(out / "map.ply", local_map[:, :3], color=(90, 120, 230))
+        # `point_cloud` already carries the initial guess; gt_pose is a world
+        # pose — express it relative to the initial frame like the method rows.
+        write_ply(
+            out / f"scan_{scan_idx:02d}_gt.ply",
+            transform_pcl(point_cloud[:, :3], gt_pose @ np.linalg.inv(self._viz_initial)),
+            color=(80, 200, 80),
+        )
+        # Flagship estimate: the refined vfm row when it ran, else the first
+        # available method row. Estimates are relative to the initial guess,
+        # which `point_cloud` already carries — apply the relative pose only.
+        key = None
+        if results.get("vfm_ransac_icp") is not None:
+            key = "vfm_ransac_icp"
+        else:
+            key = next((k for k, v in results.items() if v is not None), None)
+        if key is not None:
+            write_ply(
+                out / f"scan_{scan_idx:02d}_est_{key}.ply",
+                transform_pcl(point_cloud[:, :3], results[key]),
+                color=(230, 90, 90),
+            )
+        if corr is not None and corr[0].shape[0] > 0:
+            write_ply_segments(
+                out / f"scan_{scan_idx:02d}_correspondences.ply", corr[0], corr[1]
+            )
 
     def make_step(self) -> None:
         """One scene (`registration_node.py:548-989`)."""
@@ -1301,6 +1373,15 @@ class RegistrationNode:
             print("-" * 80)
             print(f"Points in map: {local_map.shape}")
             print("=" * 80)
+            if self.dump_viz_dir is not None:
+                corr = (
+                    precomputed["viz_corr"][i]
+                    if precomputed is not None and precomputed.get("viz_corr")
+                    else self._viz_corr
+                )
+                self._viz_initial = initial_pose
+                self._dump_scan_viz(i, local_map, point_cloud, gt_pose, results, corr)
+                self._viz_corr = None
 
         self.scene_idx += 1
         # The cached hash maps (host descriptor array + device hash grids) are
@@ -1395,6 +1476,15 @@ def main():
         action="store_true",
         help="Run the 0..100%% cluster-removal experiment sweep",
     )
+    parser.add_argument(
+        "--dump-viz",
+        type=str,
+        default=None,
+        metavar="DIR",
+        help="Write per-scan visualization PLYs (map, scan at GT/estimate, "
+        "correspondence segments) under DIR — the ROS-free equivalent of the "
+        "reference's live rviz publishing",
+    )
     args = parser.parse_args()
 
     datetime_now = datetime.datetime.now().strftime("%Y-%m-%d_%H-%M-%S")
@@ -1422,6 +1512,7 @@ def main():
         node = RegistrationNode(
             data_dir, args.interactive, prob, None,
             feature_generator=feature_generator,
+            dump_viz_dir=Path(args.dump_viz) if args.dump_viz else None,
         )
         times = []
         while not node.stop_publishing:

@@ -34,6 +34,35 @@ def write_ply(path: Path, points: np.ndarray, color=(128, 128, 128)) -> None:
             f.write(f"{p[0]:.4f} {p[1]:.4f} {p[2]:.4f} {r} {g} {b}\n")
 
 
+def write_ply_segments(
+    path: Path,
+    src: np.ndarray,
+    tgt: np.ndarray,
+    src_color=(230, 60, 60),
+    tgt_color=(60, 60, 230),
+) -> None:
+    """Correspondences as colored segment pairs: one edge per (src, tgt) row —
+    the ROS-free equivalent of the reference's correspondence MarkerArray
+    (`vfm_reg/utils.py:195-226`)."""
+    path = Path(path)
+    n = src.shape[0]
+    with open(path, "w") as f:
+        f.write(
+            "ply\nformat ascii 1.0\n"
+            f"element vertex {2 * n}\n"
+            "property float x\nproperty float y\nproperty float z\n"
+            "property uchar red\nproperty uchar green\nproperty uchar blue\n"
+            f"element edge {n}\n"
+            "property int vertex1\nproperty int vertex2\n"
+            "end_header\n"
+        )
+        for pts, (r, g, b) in ((src, src_color), (tgt, tgt_color)):
+            for p in pts:
+                f.write(f"{p[0]:.4f} {p[1]:.4f} {p[2]:.4f} {r} {g} {b}\n")
+        for k in range(n):
+            f.write(f"{k} {k + n}\n")
+
+
 def visualize_scene(
     scene_file: Path,
     voxel_size: float = 0.25,
