@@ -224,3 +224,44 @@ def test_gn_kernel_matches_build_linear_system(rng):
     assert int(n) == int(n_ref)
     np.testing.assert_allclose(np.asarray(JTJ), np.asarray(JTJ_ref), rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(np.asarray(JTr), np.asarray(JTr_ref), rtol=2e-4, atol=2e-4)
+
+
+def test_champions_from_planes_matches_build_nn_cache():
+    """The single-pass Pallas champion rebuild (`ops/champion_kernel`,
+    interpret mode here) selects bit-identical champions to
+    `build_nn_cache`: same d2, same lowest-index tie-break, same sentinel /
+    mask gating — including empty neighborhoods and masked queries."""
+    import jax
+    import jax.numpy as jnp
+
+    from vfmreg_tpu.ops.champion_kernel import champions_from_planes
+    from vfmreg_tpu.ops.hash_grid import (
+        build_hash_grid,
+        build_nn_cache,
+        gather_candidate_slabs,
+    )
+
+    rng = np.random.RandomState(0)
+    m, n = 4096, 512
+    pts = rng.uniform(-20, 20, (m, 3)).astype(np.float32)
+    # Duplicate coordinates to exercise the tie-break.
+    pts[100:140] = pts[60:100]
+    grid = build_hash_grid(jnp.asarray(pts), 1.0, mask=jnp.ones((m,), bool))
+    q = np.concatenate([
+        pts[rng.choice(m, n - 64)] + rng.normal(0, 0.3, (n - 64, 3)).astype(np.float32),
+        rng.uniform(200, 300, (64, 3)).astype(np.float32),  # empty neighborhoods
+    ]).astype(np.float32)
+    qm = np.ones((n,), bool)
+    qm[-8:] = False  # masked queries
+    qj, qmj = jnp.asarray(q), jnp.asarray(qm)
+
+    cands = gather_candidate_slabs(grid, qj, qmj)
+    ref = build_nn_cache(cands, qj, qmj)
+    group = -(-grid.max_points_per_voxel // 8) * 8
+    cxt, cyt, czt = cands.planes(group)
+    cx, cy, cz = champions_from_planes(
+        cxt, cyt, czt, qj, qmj, group=group, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(cx), np.asarray(ref.cx))
+    np.testing.assert_array_equal(np.asarray(cy), np.asarray(ref.cy))
+    np.testing.assert_array_equal(np.asarray(cz), np.asarray(ref.cz))

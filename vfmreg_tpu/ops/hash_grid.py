@@ -364,6 +364,22 @@ class Candidates(NamedTuple):
         n, v, S, _ = self.slabs.shape
         return self.slabs[..., 96:128].reshape(n, v, S * 32)
 
+    def planes(self, group: int):
+        """Transposed coordinate planes ([27*group, N] each) for the
+        single-pass champion-rebuild kernel (`ops/champion_kernel`): per-voxel
+        candidate groups in sublanes, queries in lanes. `group` is the
+        per-voxel candidate count kept (cap rounded up to the 8-sublane tile)
+        — trimming the slab's sentinel pad lanes before the transpose cuts
+        every later rebuild's HBM traffic. One transpose per slab-gather
+        epoch, amortized over all of the epoch's rebuilds."""
+        n, v, S, _ = self.slabs.shape
+        xs, ys, zs = self.coords()  # [N, V, S*32]
+        g = min(group, S * 32)
+        out = []
+        for a in (xs, ys, zs):
+            out.append(jnp.transpose(a[:, :, :g], (1, 2, 0)).reshape(v * g, n))
+        return tuple(out)
+
     def row_global(self) -> jnp.ndarray:
         n = self.slabs.shape[0]
         return self.rowids().astype(jnp.int32).reshape(n, -1)

@@ -265,6 +265,7 @@ class RegistrationNode:
         # mesh (`parallel.mesh.sharded_ransac`, psum/pmin winner broadcast).
         # Single-device runs keep the plain vmapped path.
         self._sharded_ransac = None
+        self._sharded_ransac_batched = None
         self._sharded_stages = None
         self._map_sharded_stages = None
         self._mesh_size = 1
@@ -279,6 +280,7 @@ class RegistrationNode:
             self._want_map_sharding = True
         elif len(jax.devices()) > 1:
             from vfmreg_tpu.parallel.mesh import (
+                hypothesis_sharded_batched_ransac,
                 make_mesh,
                 sharded_driver_stages,
                 sharded_ransac,
@@ -287,6 +289,9 @@ class RegistrationNode:
             self.mesh = make_mesh()
             self._mesh_size = len(jax.devices())
             self._sharded_ransac = sharded_ransac(
+                self.mesh, num_hypotheses=RANSAC_HYPOTHESES
+            )
+            self._sharded_ransac_batched = hypothesis_sharded_batched_ransac(
                 self.mesh, num_hypotheses=RANSAC_HYPOTHESES
             )
             # Scan-axis sharding for the batched driver stages: with >= one
@@ -1049,15 +1054,15 @@ class RegistrationNode:
                 # dict bound above) — run_icp below branches on `ms is not None`.
                 ps, pt, pm = _pad_b((snap_src, snap_tgt, snap_mask), b)
                 ransac_dev = stages["ransac"](ps, pt, pm, keys)[:b]
-            elif self._sharded_ransac is not None:
-                # Fewer scans than devices: shard the hypothesis budget per scan
-                # (same layout the serial path uses); enqueue all scans, fetch once.
-                ransac_dev = jnp.stack([
-                    self._sharded_ransac(
-                        snap_src[j], snap_tgt[j], snap_mask[j], jax.random.PRNGKey(j)
-                    )[0]
-                    for j in range(b)
-                ])
+            elif self._sharded_ransac_batched is not None:
+                # Fewer scans than devices: ONE 2-axis (scan x hypothesis-
+                # block) dispatch — every scan's budget sharded over the mesh
+                # with the per-scan key split the serial `_sharded_ransac`
+                # loop used, so poses match that layout bit-for-bit.
+                keys = jnp.stack([jax.random.PRNGKey(j) for j in range(b)])
+                ransac_dev = self._sharded_ransac_batched(
+                    snap_src, snap_tgt, snap_mask, keys
+                )
             else:
                 keys = jnp.stack([jax.random.PRNGKey(j) for j in range(b)])
                 ransac_dev = batched_ransac(
@@ -1077,24 +1082,30 @@ class RegistrationNode:
                 np.asarray(counts3_dev)
             )
 
-        def run_icp(guesses, max_dist, kernel):
+        def run_icp(guesses, max_dist, kernel, rebuild_mode="slabs"):
             # Accepts k*b guesses (k independent rows per scan, e.g. the merged
             # GT + refine dispatch): the scan operands tile along the batch.
+            # `rebuild_mode="planes"` picks the bit-identical single-pass
+            # champion rebuild — right for the far-field vanilla row whose
+            # lanes re-confirm convergence tens of times per epoch
+            # (`registration.icp` docstring); results are unchanged.
             g = jnp.asarray(guesses, dtype=jnp.float32)
             reps = g.shape[0] // b
             sx = s_xyz_j if reps == 1 else jnp.concatenate([s_xyz_j] * reps)
             sm = s_mask_j if reps == 1 else jnp.concatenate([s_mask_j] * reps)
+            key = "icp_planes" if rebuild_mode == "planes" else "icp"
             if ms is not None:
-                return ms["icp"](
+                return ms[key](
                     grid3, sx, sm, g, jnp.float32(max_dist), jnp.float32(kernel)
                 )
             if stages is not None:
                 sx, sm, g2 = _pad_b((sx, sm, g), g.shape[0])
-                return stages["icp"](
+                return stages[key](
                     grid3, sx, sm, g2, jnp.float32(max_dist), jnp.float32(kernel)
                 )[: g.shape[0]]
             return batched_icp(
-                grid3, sx, sm, g, jnp.float32(max_dist), jnp.float32(kernel)
+                grid3, sx, sm, g, jnp.float32(max_dist), jnp.float32(kernel),
+                rebuild_mode=rebuild_mode,
             )
 
         # GT ICP and the RANSAC-refine row share (max_dist, kernel) and are
@@ -1112,7 +1123,8 @@ class RegistrationNode:
             gt = run_icp(np.stack(poses), 3 * sigma, sigma / 3)
         _tic("gt_and_refine_icp", gt)
         vanilla = run_icp(
-            np.tile(np.eye(4, dtype=np.float32), (b, 1, 1)), 7 * sigma, sigma / 7
+            np.tile(np.eye(4, dtype=np.float32), (b, 1, 1)), 7 * sigma, sigma / 7,
+            rebuild_mode="planes",
         )
         _tic("vanilla_icp", vanilla)
         # sync 3: one fetch for every remaining device result.

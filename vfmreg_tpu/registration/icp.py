@@ -33,6 +33,7 @@ from vfmreg_tpu.geometry.se3 import exp_se3, hat_so3, transform_points
 from vfmreg_tpu.utils.precision import full_precision
 from vfmreg_tpu.ops.hash_grid import (
     HashGrid,
+    NNCache,
     build_nn_cache,
     build_weighted_nn_cache,
     candidate_weights,
@@ -94,12 +95,42 @@ def build_linear_system(
     return JTJ, JTr, jnp.sum(weight_mask.astype(jnp.int32))
 
 
+def _cholesky_solve6(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Unrolled 6x6 SPD Cholesky solve (A x = b).
+
+    `jnp.linalg.solve` lowers to a general LU kernel that costs ~0.3 ms per
+    dispatch on TPU — ~20% of a whole GN iteration for a 6x6 system. The
+    unrolled scalar form fuses into the surrounding program (~100 flops on
+    the scalar unit). A is the robust GN normal matrix: symmetric positive
+    definite whenever any correspondence is accepted, and the caller's
+    Tikhonov floor keeps the pivots positive; a degenerate system yields
+    non-finite entries that `gn_step`'s finiteness gate zeroes, exactly like
+    the LU path did.
+    """
+    n = 6
+    L = [[None] * n for _ in range(n)]
+    for j in range(n):
+        d = A[j, j] - sum(L[j][k] * L[j][k] for k in range(j))
+        L[j][j] = jnp.sqrt(d)
+        for i in range(j + 1, n):
+            s = A[i, j] - sum(L[i][k] * L[j][k] for k in range(j))
+            L[i][j] = s / L[j][j]
+    # Forward substitution L y = b, then back substitution L^T x = y.
+    y = [None] * n
+    for i in range(n):
+        y[i] = (b[i] - sum(L[i][k] * y[k] for k in range(i))) / L[i][i]
+    x = [None] * n
+    for i in reversed(range(n)):
+        x[i] = (y[i] - sum(L[k][i] * x[k] for k in range(i + 1, n))) / L[i][i]
+    return jnp.stack(x)
+
+
 def gn_step(JTJ: jnp.ndarray, JTr: jnp.ndarray, n_corr) -> jnp.ndarray:
     """Solve JTJ dx = -JTr; returns zeros when the system is empty/singular."""
     eye = jnp.eye(6, dtype=JTJ.dtype)
     # Tiny Tikhonov floor keeps the f32 solve finite when correspondences are
     # degenerate; at typical scales it perturbs dx by < 1e-6.
-    dx = jnp.linalg.solve(JTJ + 1e-8 * eye, -JTr)
+    dx = _cholesky_solve6(JTJ + 1e-8 * eye, -JTr)
     ok = (n_corr > 0) & jnp.all(jnp.isfinite(dx))
     return jnp.where(ok, dx, jnp.zeros_like(dx))
 
@@ -126,9 +157,24 @@ def geometric_icp_loop(
     refresh_interval: int = REFRESH_INTERVAL,
     qfeats=None,
     merge_cache=None,
+    rebuild_mode: str = "slabs",
 ):
     """Shared geometric GN loop (used by plain ICP, VFM-ICP phase 2, and —
     with `qfeats` — the XD descriptor-weighted path).
+
+    `rebuild_mode` selects between two BIT-IDENTICAL champion-rebuild
+    implementations (tie-break/sentinel parity pinned in
+    tests/test_hash_grid.py), trading a per-epoch transpose against per-
+    rebuild cost:
+      * "slabs" (default): rebuild directly from the gathered slab layout —
+        right for good-init rows that re-gather nearly every iteration
+        (~1 rebuild per epoch, no transpose to amortize);
+      * "planes": transpose the candidates once per epoch and run the
+        single-pass kernel (`ops/champion_kernel`) per rebuild — ~2.5x
+        cheaper rebuilds, right for long-running far-field rows whose lanes
+        re-confirm convergence tens of times per epoch (the driver's
+        vanilla-ICP row: 0.94 -> 0.58 s at B=16 on one v5e chip).
+    TPU-only distinction; CPU always uses the XLA rebuild.
 
     `merge_cache` (optional callable NNCache -> NNCache) runs once per champion
     rebuild — the hook for MAP-SHARDED registration (`parallel.mesh
@@ -182,6 +228,12 @@ def geometric_icp_loop(
     if weighted and merge_cache is not None:
         raise ValueError("merge_cache is not supported on the XD weighted path")
     use_fused = jax.default_backend() == "tpu" and not weighted
+    use_planes = use_fused and rebuild_mode == "planes"
+    # Results are bit-identical for any unroll (frozen sub-steps are no-ops),
+    # so the backend-dependent choice cannot cause TPU/CPU divergence; CPU
+    # keeps 1 because its per-iteration overhead is negligible and frozen
+    # sub-steps would only add wasted host compute.
+    unroll = 4 if jax.default_backend() == "tpu" else 1
 
     def body(state: _ICPState) -> _ICPState:
         # One slab GATHER per epoch (the HBM-gather is the expensive part);
@@ -193,6 +245,12 @@ def geometric_icp_loop(
         cands = gather_candidate_slabs(grid, state.source, mask)
         # XD metric weights depend only on candidate identity — once per epoch.
         cand_w = candidate_weights(cands, grid.feats, qfeats) if weighted else None
+        if use_planes:
+            # One transpose per epoch -> every champion rebuild is a single
+            # streaming pass (`ops/champion_kernel`); `group` trims the slab
+            # sentinel pad (cap=20 -> 24 of 32 lanes read).
+            group = min(-(-grid.max_points_per_voxel // 8) * 8, 32 * cands.slabs.shape[2])
+            candsT = cands.planes(group)
 
         def mid_cond(carry):
             source, T_icp, dx_norm, it, done, confirmed, moved_g = carry
@@ -204,12 +262,23 @@ def geometric_icp_loop(
             source0_m, T0, dxn0, it0m, done0, conf0, moved_g0 = carry
             if weighted:
                 cache = build_weighted_nn_cache(cands, cand_w, source0_m, mask)
+            elif use_planes:
+                from vfmreg_tpu.ops.champion_kernel import champions_from_planes
+
+                cx, cy, cz = champions_from_planes(
+                    *candsT, source0_m, mask, group=group
+                )
+                # rows are never read on the geometric path (zeros, see
+                # champion_kernel docstring).
+                cache = NNCache(cx=cx, cy=cy, cz=cz, rows=jnp.zeros(cx.shape, jnp.int32))
+                if merge_cache is not None:
+                    cache = merge_cache(cache)
             else:
                 cache = build_nn_cache(cands, source0_m, mask)
                 if merge_cache is not None:
                     cache = merge_cache(cache)
 
-            def inner_cond(c):
+            def inner_live(c):
                 source, T_icp, dx_norm, it, done, confirmed, moved_g, s = c
                 return (
                     (s < refresh_interval)
@@ -220,7 +289,7 @@ def geometric_icp_loop(
                     & ((s == 0) | (dx_norm >= estimation_threshold))
                 )
 
-            def inner(c):
+            def one_gn_step(c):
                 source, T_icp, dx_norm, it, done, confirmed, moved_g, s = c
                 fresh = s == 0
                 if use_fused:
@@ -255,8 +324,30 @@ def geometric_icp_loop(
                 done = done | (n_corr == 0)
                 return (source, T_icp, dx_norm, it + 1, done, confirmed, moved_g, s + 1)
 
+            def inner(c):
+                # UNROLL GN steps per while iteration: a while_loop iteration
+                # carries ~1.2 ms of structural overhead on TPU (cond barrier +
+                # batched-carry selects) while the GN math itself is ~0.4 ms —
+                # amortizing the overhead over `unroll` steps is a ~2x speedup
+                # on champion-cache-bound rows (the vanilla-ICP row). Each
+                # sub-step is masked by its own liveness predicate (the same
+                # conjunction the loop cond checks), so a frozen sub-step is a
+                # no-op and the iterate SEQUENCE — hence the result — is
+                # bit-identical to the unroll=1 loop.
+                for _ in range(unroll):
+                    live = inner_live(c)
+                    c_new = one_gn_step(c)
+                    c = jax.tree.map(
+                        lambda a, b: jax.lax.select(
+                            jnp.broadcast_to(live, a.shape) if a.ndim else live, a, b
+                        ),
+                        c_new,
+                        c,
+                    )
+                return c
+
             out = jax.lax.while_loop(
-                inner_cond,
+                inner_live,
                 inner,
                 (source0_m, T0, dxn0, it0m, done0, conf0, moved_g0, jnp.int32(0)),
             )
@@ -300,6 +391,7 @@ def _register_frame_icp_state(
     estimation_threshold: float = ESTIMATION_THRESHOLD,
     refresh_interval: int = REFRESH_INTERVAL,
     merge_cache=None,
+    rebuild_mode: str = "slabs",
 ):
     """`register_frame_icp` returning (pose, final _ICPState) — the state
     carries the iteration count and the convergence flags the two-phase
@@ -326,12 +418,14 @@ def _register_frame_icp_state(
         it0=0,
         refresh_interval=refresh_interval,
         merge_cache=merge_cache,
+        rebuild_mode=rebuild_mode,
     )
     return final.T_icp @ initial_guess, final
 
 
 @partial(
-    jax.jit, static_argnames=("max_iterations", "refresh_interval", "merge_cache")
+    jax.jit,
+    static_argnames=("max_iterations", "refresh_interval", "merge_cache", "rebuild_mode"),
 )
 def register_frame_icp(
     grid: HashGrid,
@@ -344,6 +438,7 @@ def register_frame_icp(
     estimation_threshold: float = ESTIMATION_THRESHOLD,
     refresh_interval: int = REFRESH_INTERVAL,
     merge_cache=None,
+    rebuild_mode: str = "slabs",
 ) -> jnp.ndarray:
     """KISS-ICP `RegisterFrame` for 3D points (`Registration.cpp:145-195`).
 
@@ -358,12 +453,14 @@ def register_frame_icp(
     pose, _ = _register_frame_icp_state(
         grid, points, mask, initial_guess, max_correspondence_distance, kernel,
         max_iterations, estimation_threshold, refresh_interval, merge_cache,
+        rebuild_mode,
     )
     return pose
 
 
 @partial(
-    jax.jit, static_argnames=("max_iterations", "refresh_interval", "merge_cache")
+    jax.jit,
+    static_argnames=("max_iterations", "refresh_interval", "merge_cache", "rebuild_mode"),
 )
 def register_frame_icp_stats(
     grid: HashGrid,
@@ -376,6 +473,7 @@ def register_frame_icp_stats(
     estimation_threshold: float = ESTIMATION_THRESHOLD,
     refresh_interval: int = REFRESH_INTERVAL,
     merge_cache=None,
+    rebuild_mode: str = "slabs",
 ):
     """`register_frame_icp` plus (iterations, settled) — `settled` is true when
     the lane terminated on its own (fresh-confirmed convergence or the
@@ -386,6 +484,7 @@ def register_frame_icp_stats(
     pose, final = _register_frame_icp_state(
         grid, points, mask, initial_guess, max_correspondence_distance, kernel,
         max_iterations, estimation_threshold, refresh_interval, merge_cache,
+        rebuild_mode,
     )
     return pose, final.it, final.done | final.confirmed
 
