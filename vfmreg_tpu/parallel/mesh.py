@@ -224,12 +224,18 @@ def _ransac_stage(src, tgt, mask, keys, num_hypotheses):
     return fn(src, tgt, mask, keys)
 
 
-def _icp_stage(grid, points, mask, guesses, max_dist, kernel, rebuild_mode="slabs"):
-    from vfmreg_tpu.registration.icp import register_frame_icp
+def _icp_stage(
+    grid, points, mask, guesses, max_dist, kernel, rebuild_mode="slabs",
+    max_iterations=None,
+):
+    from vfmreg_tpu.registration.icp import MAX_NUM_ITERATIONS, register_frame_icp
 
+    if max_iterations is None:
+        max_iterations = MAX_NUM_ITERATIONS
     fn = jax.vmap(
         lambda g_, p_, m_, gu_, md_, k_: register_frame_icp(
-            g_, p_, m_, gu_, md_, k_, rebuild_mode=rebuild_mode
+            g_, p_, m_, gu_, md_, k_,
+            max_iterations=max_iterations, rebuild_mode=rebuild_mode,
         ),
         in_axes=(None, 0, 0, 0, None, None),
     )
@@ -259,12 +265,53 @@ def batched_ransac(src, tgt, mask, keys, num_hypotheses=50000):
     return _ransac_stage(src, tgt, mask, keys, num_hypotheses)
 
 
-@partial(jax.jit, static_argnames=("rebuild_mode",))
-def batched_icp(grid, points, mask, guesses, max_dist, kernel, rebuild_mode="slabs"):
+@partial(jax.jit, static_argnames=("rebuild_mode", "max_iterations"))
+def batched_icp(
+    grid, points, mask, guesses, max_dist, kernel, rebuild_mode="slabs",
+    max_iterations=None,
+):
     """vmapped `register_frame_icp` over B scans against one shared grid.
     `rebuild_mode="planes"` selects the bit-identical single-pass champion
     rebuild for long-running far-field rows (`registration.icp` docstring)."""
-    return _icp_stage(grid, points, mask, guesses, max_dist, kernel, rebuild_mode)
+    return _icp_stage(
+        grid, points, mask, guesses, max_dist, kernel, rebuild_mode, max_iterations
+    )
+
+
+def _icp_stats_stage(
+    grid, points, mask, guesses, max_dist, kernel, rebuild_mode="slabs",
+    max_iterations=None,
+):
+    from vfmreg_tpu.registration.icp import (
+        MAX_NUM_ITERATIONS,
+        register_frame_icp_stats,
+    )
+
+    if max_iterations is None:
+        max_iterations = MAX_NUM_ITERATIONS
+    fn = jax.vmap(
+        lambda g_, p_, m_, gu_, md_, k_: register_frame_icp_stats(
+            g_, p_, m_, gu_, md_, k_,
+            max_iterations=max_iterations, rebuild_mode=rebuild_mode,
+        ),
+        in_axes=(None, 0, 0, 0, None, None),
+    )
+    return fn(grid, points, mask, guesses, max_dist, kernel)
+
+
+@partial(jax.jit, static_argnames=("rebuild_mode", "max_iterations"))
+def batched_icp_stats(
+    grid, points, mask, guesses, max_dist, kernel, rebuild_mode="slabs",
+    max_iterations=None,
+):
+    """`batched_icp` returning (poses, iterations, settled) per lane — the
+    phase-1 dispatch of the driver's two-phase (convergence-compacted) ICP
+    rows: lanes whose `settled` flag is False after the phase-1 budget resume
+    in a SECOND, lane-compacted dispatch so the whole batch stops paying the
+    vmapped while_loop's max-lane iteration count (VERDICT r4 item 2)."""
+    return _icp_stats_stage(
+        grid, points, mask, guesses, max_dist, kernel, rebuild_mode, max_iterations
+    )
 
 
 def _gather_nn_cache(cache, axis: str):

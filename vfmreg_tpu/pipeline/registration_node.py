@@ -1103,6 +1103,18 @@ class RegistrationNode:
                 return stages[key](
                     grid3, sx, sm, g2, jnp.float32(max_dist), jnp.float32(kernel)
                 )[: g.shape[0]]
+            if _os.environ.get("VFMREG_PROFILE_ICP_ITERS") == "1":
+                from vfmreg_tpu.parallel.mesh import batched_icp_stats
+
+                pose, its, settled = batched_icp_stats(
+                    grid3, sx, sm, g, jnp.float32(max_dist), jnp.float32(kernel),
+                    rebuild_mode=rebuild_mode,
+                )
+                print(
+                    f"[profile] icp lane iters ({rebuild_mode}): "
+                    f"{np.asarray(its).tolist()} settled={np.asarray(settled).tolist()}"
+                )
+                return pose
             return batched_icp(
                 grid3, sx, sm, g, jnp.float32(max_dist), jnp.float32(kernel),
                 rebuild_mode=rebuild_mode,
