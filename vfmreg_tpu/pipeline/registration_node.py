@@ -1120,19 +1120,22 @@ class RegistrationNode:
                 rebuild_mode=rebuild_mode,
             )
 
-        # GT ICP and the RANSAC-refine row share (max_dist, kernel) and are
-        # independent per lane, so they run as ONE 2B-lane dispatch: the
-        # vmapped while_loop already pays max-lane iterations, and both start
-        # from good inits, so the merged program costs ~max instead of sum.
+        # GT ICP and the RANSAC-refine row share (max_dist, kernel) but run as
+        # SEPARATE B-lane dispatches (one compiled program, used twice): the
+        # row cost is dominated by per-epoch slab gathers, and a vmapped
+        # while_loop pays every epoch for ALL lanes — merged 2B-lane dispatch
+        # = max-epochs x 2B lane-gathers, while the refine lanes (RANSAC
+        # output, sub-voxel from the optimum) need ~1 epoch vs the GT lanes'
+        # ~3 (0.2-0.5 m stored-GT noise exceeds the half-voxel re-gather
+        # slack). Splitting is bit-identical per lane (batched while_loop
+        # masks frozen lanes; a lane's fixed point is independent of its
+        # batch-mates) and halves the row's gather traffic — measured
+        # 0.384 -> 0.197 s at B=8 and 0.755 -> 0.384 s at B=16 on one v5e
+        # chip (see docs/ROUND5.md).
         refined = None
+        gt = run_icp(np.stack(poses), 3 * sigma, sigma / 3)
         if want_vfm_icp:
-            both = run_icp(
-                np.concatenate([np.stack(poses), ransac_ortho]),
-                3 * sigma, sigma / 3,
-            )
-            gt, refined = both[:b], both[b:]
-        else:
-            gt = run_icp(np.stack(poses), 3 * sigma, sigma / 3)
+            refined = run_icp(ransac_ortho, 3 * sigma, sigma / 3)
         _tic("gt_and_refine_icp", gt)
         vanilla = run_icp(
             np.tile(np.eye(4, dtype=np.float32), (b, 1, 1)), 7 * sigma, sigma / 7,
