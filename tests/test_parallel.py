@@ -464,3 +464,100 @@ def test_hypothesis_sharded_batched_ransac_matches_serial_loop():
     for j in range(b):
         rte, rre = compute_errors(batched[j].astype(np.float64), gts[j].astype(np.float64))
         assert rte < 2.0 and rre < 10.0, (j, rte, rre)
+
+
+def _far_field_icp_batch(rng, b=4, m=5000, n=700):
+    """One shared map grid + b scans at far-field offsets with known GT."""
+    from vfmreg_tpu.ops.hash_grid import build_hash_grid
+
+    pts = np.c_[
+        rng.uniform(-35, 35, (m, 2)), rng.uniform(0, 6, (m, 1))
+    ].astype(np.float32)
+    grid = build_hash_grid(jnp.asarray(pts), 1.0)
+    scans = np.zeros((b, n, 3), np.float32)
+    gts = []
+    for j in range(b):
+        # Varied offset magnitudes -> varied convergence speed across lanes.
+        T = np.eye(4, dtype=np.float32)
+        T[:3, :3] = R.from_euler("z", rng.uniform(-4, 4) * (j + 1) / b, degrees=True).as_matrix()
+        T[:2, 3] = rng.uniform(-1.0, 1.0, 2) * (j + 1)
+        sel = rng.choice(m, n, replace=False)
+        scans[j] = np.asarray(
+            transform_points(jnp.asarray(pts[sel]), inverse_se3(jnp.asarray(T)))
+        )
+        gts.append(T)
+    mask = jnp.ones((b, n), bool)
+    guesses = jnp.tile(jnp.eye(4, dtype=jnp.float32)[None], (b, 1, 1))
+    return grid, jnp.asarray(scans), mask, guesses, gts
+
+
+def test_batched_icp_two_phase_settled_is_bit_identical(rng):
+    """Lanes that fresh-confirm within the phase-1 budget pass through the
+    two-phase dispatch UNchanged: bit-identical to the single full-budget
+    dispatch (the while_loop would have terminated at the same iterate)."""
+    from vfmreg_tpu.parallel.mesh import (
+        batched_icp,
+        batched_icp_stats,
+        batched_icp_two_phase,
+    )
+    from vfmreg_tpu.registration.icp import FAR_FIELD_PHASE1_ITERATIONS
+
+    grid, scans, mask, guesses, _ = _far_field_icp_batch(rng)
+    md, k = jnp.float32(3.0), jnp.float32(0.5)
+    # Precondition (else this test is vacuous): every lane settles in phase 1.
+    _, _, settled = batched_icp_stats(
+        grid, scans, mask, guesses, md, k,
+        rebuild_mode="planes", max_iterations=FAR_FIELD_PHASE1_ITERATIONS,
+    )
+    assert bool(np.asarray(settled).all()), "fixture must settle in phase 1"
+    single = batched_icp(grid, scans, mask, guesses, md, k, rebuild_mode="planes")
+    two = batched_icp_two_phase(grid, scans, mask, guesses, md, k)
+    np.testing.assert_array_equal(np.asarray(two), np.asarray(single))
+
+
+def test_batched_icp_two_phase_crossing_matches_serial_replay(rng):
+    """Lanes that exhaust phase 1 resume compacted; each lane's result matches
+    the per-scan serial two-phase replay (stats + conditional resume — the
+    program `kiss.registration.register_frame(two_phase=True)` runs) at
+    solver roundoff, and every lane still recovers its ground-truth pose.
+
+    Roundoff, not bit-equality: XLA lowers the vmapped program's f32
+    reductions with a different association than the single-lane program
+    (measured ~1e-7 pose deltas between identical-math dispatches at b=1 vs
+    unbatched), so cross-granularity comparisons pin at 1e-5 — the same class
+    as the sharded-vs-vmapped pins in tests/test_harness.py."""
+    from vfmreg_tpu.geometry.metrics import compute_errors
+    from vfmreg_tpu.parallel.mesh import batched_icp_two_phase
+    from vfmreg_tpu.registration.icp import (
+        MAX_NUM_ITERATIONS,
+        register_frame_icp,
+        register_frame_icp_stats,
+    )
+
+    grid, scans, mask, guesses, gts = _far_field_icp_batch(rng)
+    md, k = jnp.float32(3.0), jnp.float32(0.5)
+    P1 = 6  # tiny budget to force phase-boundary crossings
+    two = np.asarray(
+        batched_icp_two_phase(
+            grid, scans, mask, guesses, md, k, phase1_iters=P1
+        )
+    )
+    crossed = 0
+    for j in range(scans.shape[0]):
+        pose1, _, settled = register_frame_icp_stats(
+            grid, scans[j], mask[j], guesses[j], md, k, max_iterations=P1
+        )
+        if bool(settled):
+            serial = pose1
+        else:
+            crossed += 1
+            serial = register_frame_icp(
+                grid, scans[j], mask[j], jnp.asarray(pose1), md, k,
+                max_iterations=MAX_NUM_ITERATIONS - P1,
+            )
+        np.testing.assert_allclose(
+            two[j], np.asarray(serial), atol=1e-5, err_msg=f"lane {j}"
+        )
+        rte, rre = compute_errors(two[j].astype(np.float64), np.asarray(gts[j], np.float64))
+        assert rte < 0.3 and rre < 1.5, (j, rte, rre)
+    assert crossed >= 1, "fixture must cross the phase boundary"

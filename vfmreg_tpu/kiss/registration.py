@@ -60,6 +60,7 @@ def register_frame(
     tgt_: Optional[np.ndarray] = None,
     vfm_descriptor_size: Optional[int] = None,
     force_xd: bool = False,
+    two_phase: bool = False,
 ):
     import jax.numpy as jnp
 
@@ -108,6 +109,33 @@ def register_frame(
                 max_correspondance_distance,
                 kernel,
             )
+        elif two_phase:
+            # Far-field two-phase split (`registration.icp
+            # .FAR_FIELD_PHASE1_ITERATIONS`): the serial driver's vanilla row
+            # replays the EXACT per-lane phase program of the batched two-phase
+            # dispatch (`parallel.mesh.batched_icp_two_phase`) — phase 1 with
+            # the phase-1 budget, then (only if the lane did not fresh-confirm)
+            # a resume with the remaining budget from the phase-1 pose — so
+            # serial-vs-batched rows stay bit-identical
+            # (tests/test_harness.py::test_batched_driver_matches_serial).
+            from vfmreg_tpu.registration.icp import (
+                FAR_FIELD_PHASE1_ITERATIONS,
+                MAX_NUM_ITERATIONS,
+                register_frame_icp_stats,
+            )
+
+            pose, _, settled = register_frame_icp_stats(
+                grid, xyz, mask, guess,
+                max_correspondance_distance, kernel,
+                max_iterations=FAR_FIELD_PHASE1_ITERATIONS,
+            )
+            if not bool(settled):
+                pose = register_frame_icp(
+                    grid, xyz, mask, jnp.asarray(pose),
+                    max_correspondance_distance, kernel,
+                    max_iterations=MAX_NUM_ITERATIONS
+                    - FAR_FIELD_PHASE1_ITERATIONS,
+                )
         else:
             # 3D path — or XD whose dim the map cannot weight (the map stores
             # no / different-dim descriptors; weight degenerates to 1.0).

@@ -314,6 +314,85 @@ def batched_icp_stats(
     )
 
 
+def batched_icp_two_phase(
+    grid, points, mask, guesses, max_dist, kernel,
+    rebuild_mode="planes", phase1_iters=None,
+    stats_fn=None, resume_fn=None, pad_multiple=1,
+):
+    """Convergence-compacted far-field ICP (VERDICT r4 item 2): the vmapped
+    while_loop pays every epoch's slab gather for ALL lanes until the SLOWEST
+    lane terminates, and far-field (vanilla-ICP) lanes spread ~20-600 GN
+    iterations — so one dispatch costs max-lane epochs x B lane-gathers.
+
+    Two dispatches instead: phase 1 runs every lane with a `phase1_iters`
+    budget (`batched_icp_stats`); lanes that did not fresh-confirm are then
+    COMPACTED (gathered to the front, padded to a power-of-two width with
+    already-settled lanes, which re-confirm in ~1 epoch) and resume in a
+    second dispatch with the remaining `MAX_NUM_ITERATIONS - phase1_iters`
+    budget from their phase-1 poses. Total per-lane budget matches the
+    reference cap (`Registration.cpp:92`).
+
+    Per-lane semantics are EXACTLY the per-scan two-phase program
+    (`kiss.registration.register_frame(two_phase=True)`): a lane that settles
+    in phase 1 is bit-identical to the single-dispatch result (the while_loop
+    would have terminated there); a resuming lane re-gathers its slabs and
+    recenters at the handoff pose — the same approximation class as any
+    champion-cache epoch boundary. The host sync on the B `settled` flags is
+    the price of the compaction decision (one small fetch).
+
+    `stats_fn(points, mask, guesses) -> (pose, it, settled)` and
+    `resume_fn(points, mask, guesses) -> pose` override the default jitted
+    single-host stages — the batched driver passes its `shard_map` stage
+    closures here, with `pad_multiple=n_dev` so the compacted width stays
+    divisible by the mesh.
+    """
+    from vfmreg_tpu.registration.icp import (
+        FAR_FIELD_PHASE1_ITERATIONS,
+        MAX_NUM_ITERATIONS,
+    )
+
+    if phase1_iters is None:
+        phase1_iters = FAR_FIELD_PHASE1_ITERATIONS
+    if stats_fn is None:
+        def stats_fn(p, m, g):
+            return batched_icp_stats(
+                grid, p, m, g, max_dist, kernel,
+                rebuild_mode=rebuild_mode, max_iterations=phase1_iters,
+            )
+    if resume_fn is None:
+        def resume_fn(p, m, g):
+            return batched_icp(
+                grid, p, m, g, max_dist, kernel,
+                rebuild_mode=rebuild_mode,
+                max_iterations=MAX_NUM_ITERATIONS - phase1_iters,
+            )
+
+    pose1, _, settled = stats_fn(points, mask, guesses)
+    settled_h = np.asarray(jax.device_get(settled))
+    if settled_h.all():
+        return pose1
+    idx = np.flatnonzero(~settled_h)
+    # Compacted width: next power of two (bounds the number of compiled
+    # phase-2 programs to log2(B) widths), rounded up to `pad_multiple`.
+    w = 1 << (len(idx) - 1).bit_length()
+    w = -(-w // pad_multiple) * pad_multiple
+    if w > len(idx):
+        filler_pool = np.flatnonzero(settled_h)
+        if filler_pool.size == 0:
+            filler_pool = idx
+        idx_p = np.concatenate([idx, np.resize(filler_pool, w - len(idx))])
+    else:
+        idx_p = idx
+    ii = jnp.asarray(idx_p, jnp.int32)
+    pose2 = resume_fn(
+        jnp.take(points, ii, axis=0),
+        jnp.take(mask, ii, axis=0),
+        jnp.take(pose1, ii, axis=0),
+    )
+    out = jnp.asarray(pose1).at[jnp.asarray(idx, jnp.int32)].set(pose2[: len(idx)])
+    return out
+
+
 def _gather_nn_cache(cache, axis: str):
     """all_gather the per-shard champion-cache planes along their row dim —
     the `merge_cache` hook shared by every map-sharded registration flavor
@@ -748,8 +827,34 @@ def sharded_driver_stages(mesh: Mesh, num_hypotheses: int = 50000):
         (R, D, D, D, R, R),
         D,
     )
+    # Two-phase far-field stages (`batched_icp_two_phase` with the scan axis
+    # sharded): phase 1 returns per-lane (pose, it, settled) under the
+    # FAR_FIELD_PHASE1_ITERATIONS budget; the compacted resume runs the
+    # remaining budget. Same per-lane phase split as the single-device and
+    # serial paths, so the lane-for-lane agreement contract is structural.
+    from vfmreg_tpu.registration.icp import (
+        FAR_FIELD_PHASE1_ITERATIONS as _P1,
+        MAX_NUM_ITERATIONS as _MAXIT,
+    )
+
+    icp_planes_p1 = _smap(
+        lambda g_, p_, m_, gu_, md_, k_: _icp_stats_stage(
+            g_, p_, m_, gu_, md_, k_, rebuild_mode="planes", max_iterations=_P1
+        ),
+        (R, D, D, D, R, R),
+        (D, D, D),
+    )
+    icp_planes_resume = _smap(
+        lambda g_, p_, m_, gu_, md_, k_: _icp_stage(
+            g_, p_, m_, gu_, md_, k_,
+            rebuild_mode="planes", max_iterations=_MAXIT - _P1,
+        ),
+        (R, D, D, D, R, R),
+        D,
+    )
 
     return {
         "match": match, "snap": snap, "ransac": ransac,
         "icp": icp, "icp_planes": icp_planes,
+        "icp_planes_p1": icp_planes_p1, "icp_planes_resume": icp_planes_resume,
     }

@@ -565,8 +565,13 @@ class RegistrationNode:
         raw_scan: np.ndarray,
         initial_pose: Optional[np.ndarray] = None,
         dist: float = 3,
+        two_phase: bool = False,
     ) -> np.ndarray:
-        """`icp_registration` (`registration_node.py:359-394`)."""
+        """`icp_registration` (`registration_node.py:359-394`).
+
+        `two_phase=True` (the far-field vanilla row) replays the batched
+        driver's per-lane two-phase far-field split — see
+        `kiss.registration.register_frame`."""
         voxel_scan = self._double_voxelize(raw_scan)
 
         voxel_hash_map = self._map_hash(voxel_map, with_descriptors=raw_scan.shape[1] > 3)
@@ -584,6 +589,7 @@ class RegistrationNode:
                 initial_guess=initial_pose,
                 max_correspondance_distance=dist * sigma,
                 kernel=sigma / dist,
+                two_phase=two_phase,
             )
         a = time()
         pose, src_, tgt_ = register_frame(
@@ -1137,10 +1143,42 @@ class RegistrationNode:
         if want_vfm_icp:
             refined = run_icp(ransac_ortho, 3 * sigma, sigma / 3)
         _tic("gt_and_refine_icp", gt)
-        vanilla = run_icp(
-            np.tile(np.eye(4, dtype=np.float32), (b, 1, 1)), 7 * sigma, sigma / 7,
-            rebuild_mode="planes",
-        )
+        # Far-field vanilla row: two-phase convergence-compacted dispatch
+        # (`parallel.mesh.batched_icp_two_phase`) — far-field lanes spread
+        # ~20-600 GN iterations and a single vmapped dispatch pays the
+        # max-lane epoch count for every lane. The serial driver replays the
+        # identical per-lane phase split (`register_frame(two_phase=True)`),
+        # keeping the serial-vs-batched bit-parity pin. The map-sharded mode
+        # and the ICP-iteration profiler keep the single dispatch (the
+        # profiler needs the full-budget per-lane stats).
+        eye_b = np.tile(np.eye(4, dtype=np.float32), (b, 1, 1))
+        if ms is not None or _os.environ.get("VFMREG_PROFILE_ICP_ITERS") == "1":
+            vanilla = run_icp(eye_b, 7 * sigma, sigma / 7, rebuild_mode="planes")
+        else:
+            from vfmreg_tpu.parallel.mesh import batched_icp_two_phase
+
+            md7 = jnp.float32(7 * sigma)
+            k7 = jnp.float32(sigma / 7)
+            if stages is not None:
+                def _far_p1(p, m, g):
+                    n0 = g.shape[0]
+                    pp, pm_, pg = _pad_b((p, m, g), n0)
+                    pose, it_, st = stages["icp_planes_p1"](
+                        grid3, pp, pm_, pg, md7, k7
+                    )
+                    return pose[:n0], it_[:n0], st[:n0]
+
+                def _far_resume(p, m, g):
+                    return stages["icp_planes_resume"](grid3, p, m, g, md7, k7)
+
+                vanilla = batched_icp_two_phase(
+                    grid3, s_xyz_j, s_mask_j, jnp.asarray(eye_b), md7, k7,
+                    stats_fn=_far_p1, resume_fn=_far_resume, pad_multiple=n_dev,
+                )
+            else:
+                vanilla = batched_icp_two_phase(
+                    grid3, s_xyz_j, s_mask_j, jnp.asarray(eye_b), md7, k7
+                )
         _tic("vanilla_icp", vanilla)
         # sync 3: one fetch for every remaining device result.
         to_fetch = {"gt": gt, "vanilla": vanilla, "map_size": grid3.num_points}
@@ -1379,7 +1417,7 @@ class RegistrationNode:
                 results["icp"] = precomputed["icp"][i]
             else:
                 results["icp"] = self.icp_registration(
-                    local_map, point_cloud[:, :3], dist=7
+                    local_map, point_cloud[:, :3], dist=7, two_phase=True
                 )
 
             # Errors (`:935-954`).

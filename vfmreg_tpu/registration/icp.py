@@ -44,6 +44,19 @@ from vfmreg_tpu.ops.hash_grid import (
 
 MAX_NUM_ITERATIONS = 1000  # Registration.cpp:92
 ESTIMATION_THRESHOLD = 1e-4  # Registration.cpp:93
+# Phase-1 GN-iteration budget of the drivers' two-phase far-field (vanilla
+# ICP) rows: lanes that have not fresh-confirmed by then resume in a second,
+# lane-compacted dispatch with the remaining MAX_NUM_ITERATIONS - PHASE1
+# budget, so a vmapped batch stops paying the while_loop's max-lane iteration
+# count for every lane. The value sits at the measured knee of the harness
+# workload's far-field lane spread (VFMREG_PROFILE_ICP_ITERS=1 on one v5e
+# chip, B=16 lanes: [20,44,62,139,167,190,206,210,245,263,278,349,365,402,
+# 552,603] GN iterations): at 256, 10/16 lanes settle in phase 1 and the
+# compacted resume runs the straggler tail at half the lane width; the total
+# per-lane budget is unchanged. The serial driver replays the identical
+# per-lane phase split (`kiss.registration.register_frame(two_phase=True)`),
+# which keeps the serial-vs-batched parity pin (tests/test_harness.py) intact.
+FAR_FIELD_PHASE1_ITERATIONS = 256
 # Champion-cache rebuild cadence: per-voxel champions are recomputed from the
 # epoch's gathered slab set every REFRESH_INTERVAL GN iterations (and the slab
 # set itself re-gathers whenever accumulated motion exceeds the half-voxel
