@@ -195,3 +195,56 @@ def test_ransac_empty_mask_reports_failure(rng):
     assert int(res.n_corr) == 0
     assert np.isinf(float(res.rmse))
     np.testing.assert_array_equal(np.asarray(res.pose), np.eye(4, dtype=np.float32))
+
+
+def test_ransac_statistic_scores_match_residual_sweep(rng):
+    """The sufficient-statistics RMSE (one O(N) pass + O(1) per hypothesis,
+    `ransac_registration`'s score expansion) agrees with the explicit f64
+    residual sweep for arbitrary rigid models, within the documented f32
+    noise bound (~1e-4 m^2 on the per-point MSE at this scale)."""
+    src, tgt, _ = make_corrs(rng, n=512, outlier_frac=0.5)
+    mask = np.ones(512, bool)
+    mask[490:] = False
+
+    # The statistics exactly as the kernel computes them (f32, centered).
+    m = mask.astype(np.float32)
+    denom = m.sum()
+    c = (src * m[:, None]).sum(0) / denom
+    s_c = (src - c).astype(np.float32)
+    g_c = (tgt - c).astype(np.float32)
+    a_vec = (s_c * m[:, None]).sum(0)
+    g_vec = (g_c * m[:, None]).sum(0)
+    s_ss = ((s_c * s_c).sum(-1) * m).sum()
+    s_tt = ((g_c * g_c).sum(-1) * m).sum()
+    A_cov = (g_c * m[:, None]).T @ s_c
+
+    rng2 = np.random.RandomState(11)
+    for _ in range(25):
+        Rm = R.from_euler("xyz", rng2.uniform(-40, 40, 3), degrees=True).as_matrix()
+        t = rng2.uniform(-10, 10, 3)
+        stat = (
+            s_ss + s_tt + denom * (t @ t)
+            + 2.0 * t @ (Rm @ a_vec)
+            - 2.0 * (Rm * A_cov).sum()
+            - 2.0 * t @ g_vec
+        ) / denom
+        moved = s_c.astype(np.float64) @ Rm.T + t
+        sweep = (((moved - g_c) ** 2).sum(-1) * m).sum() / denom
+        assert abs(stat - sweep) < 1e-3 + 1e-6 * sweep, (stat, sweep)
+
+
+def test_ransac_scoring_scales_with_hypotheses_not_corrs(rng):
+    """Behavioral pin of the O(N + K) scoring at a 4x-wider correspondence
+    set: clean correspondences still recover the planted pose near-exactly
+    (the all-inlier min-RMSE criterion is an LS consensus — under heavy
+    outliers it returns a compromise model by design, so exact-recovery is
+    only a valid pin on the clean set; cf.
+    test_ransac_recovers_pose_under_outliers's loose gates)."""
+    src, tgt, T = make_corrs(rng, n=2048, outlier_frac=0.0)
+    res = ransac_registration(
+        jnp.asarray(src), jnp.asarray(tgt), jnp.ones(2048, bool),
+        jax.random.PRNGKey(5), num_hypotheses=8192,
+    )
+    got = np.asarray(res.pose)
+    np.testing.assert_allclose(got, T, atol=2e-3)
+    assert float(res.rmse) < 0.05

@@ -70,6 +70,33 @@ def ransac_registration(
     n_mask_f = mask_s.astype(jnp.float32)
     denom = jnp.maximum(jnp.sum(n_mask_f), 1.0)
 
+    # Sufficient statistics for the masked RMSE: for a RIGID model
+    # (|R s|^2 = |s|^2) the summed residual expands to
+    #   sum_n m_n |R s_n + t - g_n|^2
+    #     = S_ss + S_tt + M |t|^2 + 2 t.(R a) - 2 <A, R>_F - 2 t.g
+    # with a = sum m s, g = sum m g_n, S_ss = sum m |s|^2, S_tt = sum m |g|^2,
+    # A = sum m g_n s_n^T — ONE O(N) pass, then O(1) per hypothesis instead
+    # of the [K, N] residual sweep (the former snap_and_ransac hot cost:
+    # 50k x corr-width residual evals per scan).
+    #
+    # PRECISION (x64 stays off for TPU): the expansion subtracts O(|s|^2 * N)
+    # terms (~1e6-1e7 at centered |s| ~ 30 m spread, N ~ 2k), so f32 score
+    # noise is ~eps * term / M ~ 1e-4 m^2 on the per-point MSE — i.e. winner
+    # selection among models whose RMSE agrees to ~2-3 mm becomes
+    # noise-ordered, while the old [K, N] sweep's small-residual sums ordered
+    # those ties ~1e-3-noisily anyway. Any such winner is an equally valid
+    # min-RMSE model: the pose feeds an ICP refinement whose basin dwarfs
+    # millimetres, and the quality gates (0.3 m / 0.6 m) sit three orders
+    # above the noise floor (recall parity re-pinned in
+    # tests/test_recall_parity.py; score-vs-sweep agreement in
+    # tests/test_ransac.py::test_ransac_statistic_scores_match_residual_sweep).
+    w = n_mask_f[:, None]
+    a_vec = jnp.sum(src_c * w, axis=0)  # [3]
+    g_vec = jnp.sum(tgt_c * w, axis=0)  # [3]
+    s_ss = jnp.sum(jnp.sum(src_c * src_c, axis=-1) * n_mask_f)
+    s_tt = jnp.sum(jnp.sum(tgt_c * tgt_c, axis=-1) * n_mask_f)
+    A_cov = jnp.einsum("ni,nj->ij", tgt_c * w, src_c)  # [3, 3]
+
     def score_chunk(carry, pick_block):
         best_rmse, best_T = carry
         tri_src = src_c[pick_block]  # [B, 3, 3]
@@ -77,11 +104,18 @@ def ransac_registration(
         T = kabsch(tri_src, tri_tgt)  # [B, 4, 4]
         R = T[:, :3, :3]
         t = T[:, :3, 3]
-        # [B, N] residuals of the full set under each model.
-        moved = jnp.einsum("bij,nj->bni", R, src_c) + t[:, None, :]
-        err2 = jnp.sum((moved - tgt_c[None]) ** 2, axis=-1)
-        mse = jnp.sum(err2 * n_mask_f[None, :], axis=-1) / denom
-        mse = jnp.where(jnp.all(jnp.isfinite(T.reshape(T.shape[0], -1)), axis=-1), mse, jnp.inf)
+        mse = (
+            s_ss + s_tt
+            + denom * jnp.sum(t * t, axis=-1)
+            + 2.0 * jnp.einsum("bi,bi->b", t, R @ a_vec)
+            - 2.0 * jnp.einsum("bij,ij->b", R, A_cov)
+            - 2.0 * t @ g_vec
+        ) / denom
+        mse = jnp.where(
+            jnp.all(jnp.isfinite(T.reshape(T.shape[0], -1)), axis=-1), mse, jnp.inf
+        )
+        # The expansion can go epsilon-negative on near-perfect fits.
+        mse = jnp.maximum(mse, 0.0)
         j = jnp.argmin(mse)
         better = mse[j] < best_rmse
         best_rmse = jnp.where(better, mse[j], best_rmse)
